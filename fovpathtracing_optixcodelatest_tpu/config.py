@@ -1,0 +1,145 @@
+"""Typed configuration for the renderer.
+
+The reference scatters its configuration across compile-time ``#define``s and
+hardcoded constants (scene choice PT_sv5_/main.cpp:24-29, FOV_ON/radii
+SimplePathtracer.cpp:20-23, per-pass spp :142,170,193, bounce cap literal 4
+deviceProgram.cu:515, exposure/tone-map toggles :583-600). Here all of that is a
+single frozen dataclass tree that hashes, so configs can be static arguments to
+``jax.jit`` — every field that changes the traced program shape lives here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FoveationPass:
+    """One foveated launch region.
+
+    Twin of the per-pass LaunchParams fields the reference host code rewrites
+    between its three ``optixLaunch`` calls (SimplePathtracer.cpp:137-209):
+    ``factor`` (pixel stride), ``fill_size`` (replication block, == factor),
+    ``spp`` (samples_per_launch), ``r_inner``/``r_outer`` (ring radii in pixels
+    around the gaze point), ``redraw`` (1 disables progressive accumulation for
+    the region), plus the launch grid size in *launch* (strided) coordinates.
+    """
+
+    factor: int
+    spp: int
+    r_inner: float
+    r_outer: float
+    redraw: bool
+    # Launch grid in strided coords; None = cover the whole frame at this stride.
+    launch_w: int | None = None
+    launch_h: int | None = None
+    # Offset is gaze-relative when centered=True (offset = c - center_offset),
+    # absolute (0,0) otherwise — mirrors the reference's offset arithmetic.
+    centered: bool = False
+    center_offset: int = 0
+
+    @property
+    def fill_size(self) -> int:
+        return self.factor
+
+
+# Reference radii: inner=74, outer=241 (SimplePathtracer.cpp:20-21). Pass structure:
+#   periphery: factor 4, spp 8,  ring [241, inf),  launch (W/4, H/4), offset (0,0)
+#   annulus:   factor 2, spp 16, ring [74, 243),   launch (243,243), offset c-243
+#   fovea:     factor 1, spp 32, ring [0, 75),     launch (150,150), offset c-75
+INNER_RADIUS = 74
+OUTER_RADIUS = 241
+
+
+@dataclasses.dataclass(frozen=True)
+class FoveationSchedule:
+    """The full foveation schedule — the framework's core tunable."""
+
+    passes: Tuple[FoveationPass, ...]
+
+    @staticmethod
+    def reference_32_16_8(
+        inner: int = INNER_RADIUS, outer: int = OUTER_RADIUS
+    ) -> "FoveationSchedule":
+        """The PT_sv5_ schedule (SimplePathtracer.cpp:137-209)."""
+        return FoveationSchedule(
+            passes=(
+                FoveationPass(
+                    factor=4, spp=8, r_inner=float(outer), r_outer=1e9, redraw=False
+                ),
+                FoveationPass(
+                    factor=2,
+                    spp=16,
+                    r_inner=float(inner),
+                    r_outer=float(outer + 2),
+                    redraw=True,
+                    launch_w=outer + 2,
+                    launch_h=outer + 2,
+                    centered=True,
+                    center_offset=outer + 2,
+                ),
+                FoveationPass(
+                    factor=1,
+                    spp=32,
+                    r_inner=0.0,
+                    r_outer=float(inner + 1),
+                    redraw=True,
+                    launch_w=2 * (inner + 1),
+                    launch_h=2 * (inner + 1),
+                    centered=True,
+                    center_offset=inner + 1,
+                ),
+            )
+        )
+
+    @staticmethod
+    def sweep(fovea_spp: int, annulus_spp: int, periphery_spp: int) -> "FoveationSchedule":
+        """Build an spp-sweep schedule like the PT_sv4_vmv2 benchmark suite
+        (e.g. 32_2_1 ... 32_16_8, see BASELINE.md)."""
+        base = FoveationSchedule.reference_32_16_8().passes
+        return FoveationSchedule(
+            passes=(
+                dataclasses.replace(base[0], spp=periphery_spp),
+                dataclasses.replace(base[1], spp=annulus_spp),
+                dataclasses.replace(base[2], spp=fovea_spp),
+            )
+        )
+
+    @staticmethod
+    def uniform(spp: int = 4) -> "FoveationSchedule":
+        """The FOV_OFF single full-frame launch (SimplePathtracer.cpp:85-131)."""
+        return FoveationSchedule(
+            passes=(
+                FoveationPass(
+                    factor=1, spp=spp, r_inner=0.0, r_outer=1e9, redraw=False
+                ),
+            )
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Global render settings (twin of the device-side #defines,
+    deviceProgram.cu:481,515,583-600 and tmin/tmax globals :41-42)."""
+
+    width: int = 960
+    height: int = 540
+    max_depth: int = 4  # bounce cap (deviceProgram.cu:515)
+    tmin: float = 0.01  # deviceProgram.cu:41
+    tmax: float = 1e16  # deviceProgram.cu:42
+    antialias: bool = True  # USE_ANTIALIASING (deviceProgram.cu:481)
+    exposure_stops: float = 4.0  # pow(2, 4) exposure (deviceProgram.cu:586)
+    tone_mapping: bool = True  # TONE_MAPPING__ENABLE (deviceProgram.cu:595)
+    exposure_correction: bool = True  # EXPOSURE_CORR_ON (deviceProgram.cu:583)
+    white: float = 1.0  # Reinhard white point (deviceProgram.cu:597)
+    accumulate: bool = True  # progressive accumulation (PT_original semantics)
+    # Ray batch chunking for the wavefront loop; rays are processed in chunks of
+    # this many lanes so arbitrarily large frames fit in HBM. Must be a multiple
+    # of 1024 for clean (8,128) tiling.
+    ray_chunk: int = 1 << 17
+    dtype: str = "float32"
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        return (self.width, self.height)

@@ -1,0 +1,133 @@
+"""Disney material model.
+
+Twin of PT_sv5_/Material.h: same parameter set and defaults (Material.h:13-38),
+the specular→IOR inference rule (Material.h:40-46), and the shadow-catcher flag
+(Material.h:9). Host-side a material is a small dataclass; on device the scene
+carries a ``MaterialTable`` — one SoA array per parameter — and shading gathers
+per-ray parameter vectors by material id (the TPU-native replacement for the
+per-mesh SBT record, LaunchParams.h:38-47).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MATERIAL_FLAG_NONE = 0
+MATERIAL_FLAG_SHADOW_CATCHER = 1 << 0  # Material.h:9
+
+
+@dataclasses.dataclass
+class Material:
+    """One material, reference defaults (Material.h:13-38)."""
+
+    color: Tuple[float, float, float] = (1.0, 0.0, 0.0)
+    emission: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    absorption: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    eta: float = 1.4
+    metallic: float = 0.5
+    subsurface: float = 0.0
+    specular: float = 1.0
+    roughness: float = 1.0
+    specular_tint: float = 1.0
+    anisotropic: float = 0.0
+    sheen: float = 0.0
+    sheen_tint: float = 0.0
+    clearcoat: float = 0.0
+    clearcoat_gloss: float = 1.0
+    transmission: float = 0.4
+    bump: float = 0.0
+    flags: int = MATERIAL_FLAG_NONE
+
+    def index_of_refraction(self) -> float:
+        """eta, or inferred from specular when eta == 0 (Material.h:40-46)."""
+        if self.eta == 0.0:
+            return 2.0 / (1.0 - float(np.sqrt(0.08 * self.specular))) - 1.0
+        return self.eta
+
+
+_SCALAR_FIELDS = (
+    "eta",
+    "metallic",
+    "subsurface",
+    "specular",
+    "roughness",
+    "specular_tint",
+    "anisotropic",
+    "sheen",
+    "sheen_tint",
+    "clearcoat",
+    "clearcoat_gloss",
+    "transmission",
+    "bump",
+)
+_VEC_FIELDS = ("color", "emission", "absorption")
+
+
+@dataclasses.dataclass(frozen=True)
+class MaterialTable:
+    """SoA table of M materials; a pytree of (M,) / (M,3) arrays."""
+
+    color: jnp.ndarray  # (M, 3)
+    emission: jnp.ndarray  # (M, 3)
+    absorption: jnp.ndarray  # (M, 3)
+    eta: jnp.ndarray  # (M,)
+    metallic: jnp.ndarray
+    subsurface: jnp.ndarray
+    specular: jnp.ndarray
+    roughness: jnp.ndarray
+    specular_tint: jnp.ndarray
+    anisotropic: jnp.ndarray
+    sheen: jnp.ndarray
+    sheen_tint: jnp.ndarray
+    clearcoat: jnp.ndarray
+    clearcoat_gloss: jnp.ndarray
+    transmission: jnp.ndarray
+    bump: jnp.ndarray
+    flags: jnp.ndarray  # (M,) int32
+
+    @property
+    def num_materials(self) -> int:
+        return self.color.shape[0]
+
+    @staticmethod
+    def from_materials(materials: Sequence[Material]) -> "MaterialTable":
+        if not materials:
+            materials = [Material()]
+        kw = {}
+        for f in _VEC_FIELDS:
+            kw[f] = jnp.asarray(
+                np.array([getattr(m, f) for m in materials], dtype=np.float32)
+            )
+        for f in _SCALAR_FIELDS:
+            vals = []
+            for m in materials:
+                v = m.index_of_refraction() if f == "eta" else getattr(m, f)
+                vals.append(v)
+            kw[f] = jnp.asarray(np.array(vals, dtype=np.float32))
+        kw["flags"] = jnp.asarray(
+            np.array([m.flags for m in materials], dtype=np.int32)
+        )
+        return MaterialTable(**kw)
+
+    def gather(self, ids: jnp.ndarray) -> "MaterialTable":
+        """Per-ray material parameters: every field gathered by material id.
+        Returns a MaterialTable whose leading dim is the ray batch."""
+        ids = jnp.clip(ids, 0, self.num_materials - 1)
+        return MaterialTable(
+            **{
+                f.name: jnp.take(getattr(self, f.name), ids, axis=0)
+                for f in dataclasses.fields(self)
+            }
+        )
+
+
+jax.tree_util.register_dataclass(
+    MaterialTable,
+    data_fields=[f.name for f in dataclasses.fields(MaterialTable)],
+    meta_fields=[],
+)

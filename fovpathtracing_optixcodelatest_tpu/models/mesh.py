@@ -1,0 +1,262 @@
+"""Triangle meshes and the flattened device scene.
+
+The reference keeps one ``TriangleMesh`` per (shape × material) with its own
+vertex/index/normal/texcoord CUDA buffers plus one SBT hit-group record per
+mesh×raytype (Model.h:10-20, SimplePathtracer.cpp:571-634). On TPU there is no
+SBT dispatch: the whole scene flattens into single global SoA arrays, with
+per-triangle material/texture ids replacing the SBT record lookup. Triangles are
+stored as (v0, e1, e2) so the intersector needs one gather per triangle id.
+
+Procedural geometry (``make_box`` twin: Model.cpp:219-291 addBox) and simple
+generators live here too, since no model assets ship with the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fovpathtracing_optixcodelatest_tpu.models.material import Material, MaterialTable
+
+
+@dataclasses.dataclass
+class HostMesh:
+    """One mesh on the host: the Model.h TriangleMesh twin (numpy)."""
+
+    vertex: np.ndarray  # (V, 3) float32
+    index: np.ndarray  # (F, 3) int32
+    normal: Optional[np.ndarray] = None  # (V, 3) float32 or None
+    texcoord: Optional[np.ndarray] = None  # (V, 2) float32 or None
+    material: Material = dataclasses.field(default_factory=Material)
+    diffuse_texture_id: int = -1  # index into the scene's texture list, -1 = none
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.index.shape[0])
+
+
+def make_box(pos, extent, material: Material, texture_id: int = -1) -> HostMesh:
+    """Axis-aligned box: 8 corners, 12 triangles, 36 unshared vertices with
+    per-face normals — same topology and winding as Model.cpp addBox:219-291."""
+    px, py, pz = pos
+    ex, ey, ez = extent
+    A = (-ex + px, -ey + py, ez + pz)
+    B = (ex + px, -ey + py, ez + pz)
+    C = (ex + px, ey + py, ez + pz)
+    D = (-ex + px, ey + py, ez + pz)
+    E = (-ex + px, -ey + py, -ez + pz)
+    F = (ex + px, -ey + py, -ez + pz)
+    G = (ex + px, ey + py, -ez + pz)
+    H = (-ex + px, ey + py, -ez + pz)
+    verts = [
+        A, B, C, A, C, D,  # front (+z)
+        E, H, G, E, G, F,  # back (-z)
+        E, A, D, E, D, H,  # left (-x)
+        B, F, G, B, G, C,  # right (+x)
+        D, C, G, D, G, H,  # top (+y)
+        E, A, B, E, B, F,  # bottom (-y)
+    ]
+    face_normals = [
+        (0, 0, 1), (0, 0, -1), (-1, 0, 0), (1, 0, 0), (0, 1, 0), (0, -1, 0)
+    ]
+    normals = np.repeat(np.asarray(face_normals, dtype=np.float32), 6, axis=0)
+    vertex = np.asarray(verts, dtype=np.float32)
+    index = np.arange(36, dtype=np.int32).reshape(12, 3)
+    texcoord = np.zeros((36, 2), dtype=np.float32)
+    return HostMesh(
+        vertex=vertex,
+        index=index,
+        normal=normals,
+        texcoord=texcoord,
+        material=material,
+        diffuse_texture_id=texture_id,
+    )
+
+
+def make_quad(p0, p1, p2, p3, material: Material, texture_id: int = -1) -> HostMesh:
+    """Two-triangle quad p0→p1→p2→p3 (counter-clockwise) with unit texcoords."""
+    vertex = np.asarray([p0, p1, p2, p3], dtype=np.float32)
+    index = np.asarray([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+    n = np.cross(vertex[1] - vertex[0], vertex[2] - vertex[0])
+    n = n / max(np.linalg.norm(n), 1e-12)
+    normal = np.tile(n.astype(np.float32), (4, 1))
+    texcoord = np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)
+    return HostMesh(vertex=vertex, index=index, normal=normal, texcoord=texcoord,
+                    material=material, diffuse_texture_id=texture_id)
+
+
+def make_icosphere(center, radius, subdivisions: int, material: Material) -> HostMesh:
+    """Subdivided icosahedron (smooth normals). Handy triangle-count knob for
+    traversal tests/benchmarks: 20 * 4^s triangles."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.asarray(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.asarray(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    for _ in range(subdivisions):
+        edge_mid: dict = {}
+        verts_list = list(verts)
+        new_faces = []
+
+        def midpoint(a: int, b: int) -> int:
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = verts_list[a] + verts_list[b]
+                m = m / np.linalg.norm(m)
+                edge_mid[key] = len(verts_list)
+                verts_list.append(m)
+            return edge_mid[key]
+
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(verts_list)
+        faces = np.asarray(new_faces, dtype=np.int64)
+    center = np.asarray(center, dtype=np.float64)
+    vertex = (center + radius * verts).astype(np.float32)
+    normal = verts.astype(np.float32)
+    return HostMesh(
+        vertex=vertex,
+        index=faces.astype(np.int32),
+        normal=normal,
+        texcoord=np.zeros((len(vertex), 2), dtype=np.float32),
+        material=material,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneGeometry:
+    """Flattened device scene geometry: the TPU analog of the GAS build inputs +
+    per-mesh SBT data (SimplePathtracer.cpp:602-746, LaunchParams.h:38-47).
+
+    Triangles are globally indexed; ``tri_material``/``tri_texture`` replace the
+    SBT hit-group record, and ``tri_n*``/``tri_uv*`` are per-corner shading
+    attributes pre-gathered per triangle so the hot path needs a single
+    triangle-id gather.
+    """
+
+    tri_v0: jnp.ndarray  # (T, 3)
+    tri_e1: jnp.ndarray  # (T, 3)  v1 - v0
+    tri_e2: jnp.ndarray  # (T, 3)  v2 - v0
+    tri_n0: jnp.ndarray  # (T, 3) shading normals per corner
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray  # (T, 2)
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_material: jnp.ndarray  # (T,) int32
+    tri_texture: jnp.ndarray  # (T,) int32, -1 = untextured
+    has_shading_normals: jnp.ndarray  # (T,) bool
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v0.shape[0]
+
+    def geometric_normal(self, tri_ids: jnp.ndarray) -> jnp.ndarray:
+        """normalize(cross(e1, e2)) — the CH program's N_0
+        (deviceProgram.cu:629-632)."""
+        e1 = jnp.take(self.tri_e1, tri_ids, axis=0)
+        e2 = jnp.take(self.tri_e2, tri_ids, axis=0)
+        n = jnp.cross(e1, e2)
+        return n * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(n * n, axis=-1, keepdims=True), 1e-20)
+        )
+
+
+jax.tree_util.register_dataclass(
+    SceneGeometry,
+    data_fields=[f.name for f in dataclasses.fields(SceneGeometry)],
+    meta_fields=[],
+)
+
+
+def flatten_meshes(meshes: Sequence[HostMesh]) -> tuple[SceneGeometry, MaterialTable]:
+    """Concatenate meshes into global SoA arrays + build the material table.
+
+    Mirrors what buildAccel + buildSBT accomplish together: one geometry pool,
+    per-triangle attribution (SimplePathtracer.cpp:602-746, :534-599).
+    """
+    v0s, e1s, e2s = [], [], []
+    n0s, n1s, n2s = [], [], []
+    t0s, t1s, t2s = [], [], []
+    mat_ids, tex_ids, has_ns = [], [], []
+    materials: List[Material] = []
+    for mesh in meshes:
+        mat_id = len(materials)
+        materials.append(mesh.material)
+        v = mesh.vertex.astype(np.float32)
+        idx = mesh.index.astype(np.int64)
+        p0, p1, p2 = v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]
+        v0s.append(p0)
+        e1s.append(p1 - p0)
+        e2s.append(p2 - p0)
+        if mesh.normal is not None and len(mesh.normal):
+            n = mesh.normal.astype(np.float32)
+            n0s.append(n[idx[:, 0]])
+            n1s.append(n[idx[:, 1]])
+            n2s.append(n[idx[:, 2]])
+            has_ns.append(np.ones(len(idx), dtype=bool))
+        else:
+            z = np.zeros_like(p0)
+            n0s.append(z)
+            n1s.append(z)
+            n2s.append(z)
+            has_ns.append(np.zeros(len(idx), dtype=bool))
+        if mesh.texcoord is not None and len(mesh.texcoord):
+            tc = mesh.texcoord.astype(np.float32)
+            t0s.append(tc[idx[:, 0]])
+            t1s.append(tc[idx[:, 1]])
+            t2s.append(tc[idx[:, 2]])
+        else:
+            z2 = np.zeros((len(idx), 2), dtype=np.float32)
+            t0s.append(z2)
+            t1s.append(z2)
+            t2s.append(z2)
+        mat_ids.append(np.full(len(idx), mat_id, dtype=np.int32))
+        tex_ids.append(np.full(len(idx), mesh.diffuse_texture_id, dtype=np.int32))
+
+    geom = SceneGeometry(
+        tri_v0=jnp.asarray(np.concatenate(v0s)),
+        tri_e1=jnp.asarray(np.concatenate(e1s)),
+        tri_e2=jnp.asarray(np.concatenate(e2s)),
+        tri_n0=jnp.asarray(np.concatenate(n0s)),
+        tri_n1=jnp.asarray(np.concatenate(n1s)),
+        tri_n2=jnp.asarray(np.concatenate(n2s)),
+        tri_uv0=jnp.asarray(np.concatenate(t0s)),
+        tri_uv1=jnp.asarray(np.concatenate(t1s)),
+        tri_uv2=jnp.asarray(np.concatenate(t2s)),
+        tri_material=jnp.asarray(np.concatenate(mat_ids)),
+        tri_texture=jnp.asarray(np.concatenate(tex_ids)),
+        has_shading_normals=jnp.asarray(np.concatenate(has_ns)),
+    )
+    table = MaterialTable.from_materials(materials)
+    return geom, table
+
+
+def host_triangles(meshes: Sequence[HostMesh]) -> np.ndarray:
+    """(T, 3, 3) float32 triangle corners on the host — BVH build input."""
+    tris = []
+    for mesh in meshes:
+        v = mesh.vertex.astype(np.float32)
+        idx = mesh.index.astype(np.int64)
+        tris.append(np.stack([v[idx[:, 0]], v[idx[:, 1]], v[idx[:, 2]]], axis=1))
+    return np.concatenate(tris, axis=0)

@@ -1,0 +1,112 @@
+"""Environment probe: host-side 2-level CDF build + device pytree.
+
+Twin of Probe.h ProbeData::BuildCDF (:29-77): per-row conditional pdf/cdf over
+luminance (X) and a column marginal over row sums (Y), both normalized; and of
+CUDAProbeData::createBuffer (:102-124) which uploads the five buffers. Here the
+build is vectorized numpy (cumsum instead of the reference's scalar loops) and
+the device side is a ``ProbeParams`` pytree consumed by ops/probe_sampling.py.
+
+``constant_probe`` is the loadColor path (main.cpp:175-187): a solid-color
+environment still built through the same CDF machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fovpathtracing_optixcodelatest_tpu.ops.sampling import luminance as _lum_weights
+
+
+@dataclasses.dataclass(frozen=True)
+class ProbeParams:
+    """Device probe: the LaunchParams ``Probe`` struct (Probe.cuh:6-21)."""
+
+    data: jnp.ndarray  # (H, W, 3) float32 radiance
+    pdf_x: jnp.ndarray  # (H, W) row-conditional pdf
+    cdf_x: jnp.ndarray  # (H, W) row-conditional cdf (inclusive)
+    pdf_y: jnp.ndarray  # (H,) row marginal pdf
+    cdf_y: jnp.ndarray  # (H,) row marginal cdf (inclusive)
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.data.shape[0]
+
+
+jax.tree_util.register_dataclass(
+    ProbeParams,
+    data_fields=["data", "pdf_x", "cdf_x", "pdf_y", "cdf_y"],
+    meta_fields=[],
+)
+
+
+def build_cdf(data: np.ndarray) -> ProbeParams:
+    """Build the 2-level luminance CDF (Probe.h BuildCDF semantics).
+
+    pdf_x[j,i] = L[j,i] / sum_i L[j,:]     cdf_x[j,i] = cumsum_i / sum_i (inclusive)
+    pdf_y[j]   = sum_i L[j,:] / sum L      cdf_y[j]   = cumsum_j / sum (inclusive)
+    """
+    data = np.asarray(data, dtype=np.float32)
+    assert data.ndim == 3 and data.shape[2] >= 3
+    rgb = data[..., :3]
+    weight = 0.3 * rgb[..., 0] + 0.6 * rgb[..., 1] + 0.1 * rgb[..., 2]
+    weight = np.maximum(weight, 0.0)
+    row_sum = weight.sum(axis=1)  # (H,)
+    safe_row = np.where(row_sum > 0, row_sum, 1.0)
+    pdf_x = weight / safe_row[:, None]
+    cdf_x = np.cumsum(weight, axis=1) / safe_row[:, None]
+    total = row_sum.sum()
+    safe_total = total if total > 0 else 1.0
+    pdf_y = row_sum / safe_total
+    cdf_y = np.cumsum(row_sum) / safe_total
+    return ProbeParams(
+        data=jnp.asarray(rgb.astype(np.float32)),
+        pdf_x=jnp.asarray(pdf_x.astype(np.float32)),
+        cdf_x=jnp.asarray(cdf_x.astype(np.float32)),
+        pdf_y=jnp.asarray(pdf_y.astype(np.float32)),
+        cdf_y=jnp.asarray(cdf_y.astype(np.float32)),
+    )
+
+
+def constant_probe(color, width: int = 64, height: int = 32) -> ProbeParams:
+    """Solid ambient-color probe (loadColor twin, main.cpp:175-187). The
+    reference allocates it at framebuffer resolution; a small probe is
+    mathematically identical for a constant field and saves HBM."""
+    data = np.tile(np.asarray(color, dtype=np.float32), (height, width, 1))
+    return build_cdf(data)
+
+
+def gradient_sky_probe(width: int = 256, height: int = 128,
+                       zenith=(0.35, 0.55, 1.0), horizon=(1.0, 0.95, 0.85),
+                       sun_dir=(0.3, 0.8, 0.5), sun_power: float = 200.0,
+                       sun_sharpness: float = 400.0) -> ProbeParams:
+    """Procedural HDR sky with a bright sun disc — a stand-in for the 4k HDRIs
+    the reference loads from disk (main.cpp:211-224), and a proper stress test
+    for importance sampling (high-contrast peak)."""
+    v = (np.arange(height) + 0.5) / height
+    u = (np.arange(width) + 0.5) / width
+    theta = v * np.pi
+    phi = u * 2.0 * np.pi
+    # Lat-long mapping matching ProbeUVToDir (Probe.cuh:47-58)
+    x = -np.sin(theta)[:, None] * np.cos(phi)[None, :]
+    y = np.cos(theta)[:, None] * np.ones_like(phi)[None, :]
+    z = -np.sin(theta)[:, None] * np.sin(phi)[None, :]
+    t = np.clip(0.5 * (y + 1.0), 0.0, 1.0)[..., None]
+    sky = np.asarray(horizon) * (1 - t) + np.asarray(zenith) * t
+    sd = np.asarray(sun_dir, dtype=np.float64)
+    sd /= np.linalg.norm(sd)
+    cosang = x * sd[0] + y * sd[1] + z * sd[2]
+    sun = np.exp(sun_sharpness * (np.clip(cosang, -1, 1) - 1.0))[..., None]
+    data = sky + sun_power * sun
+    return build_cdf(data.astype(np.float32))
+
+
+def luminance(rgb: jnp.ndarray) -> jnp.ndarray:
+    return _lum_weights(rgb)
