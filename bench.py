@@ -1,0 +1,102 @@
+"""Benchmark: foveated frame rendering on one chip.
+
+Prints ONE JSON line:
+  {"metric": "Mrays/s/chip", "value": N, "unit": "Mrays/s",
+   "vs_baseline": N / 200}
+
+- Scene: procedural box_city (Sponza-class occlusion stand-in; the reference's
+  OBJ scenes are not redistributable and live outside its repo,
+  main.cpp:195-205).
+- Config: 960x540 (the reference default, PT_sv5_/main.cpp:47) with the
+  PT_sv5_ 32/16/8 foveation schedule (SimplePathtracer.cpp:137-209).
+- Metric: traversal queries (closest-hit + occlusion rays actually walked)
+  per second — "Mrays/s/chip traversal" from BASELINE.json's north star;
+  vs_baseline is against the 200 Mrays/s target. FPS and the reference's
+  measured foveated FPS anchor (30.9, BASELINE.md) go to stderr.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fovpathtracing_optixcodelatest_tpu.config import (
+        FoveationSchedule,
+        RenderConfig,
+    )
+    from fovpathtracing_optixcodelatest_tpu.models import scenes
+    from fovpathtracing_optixcodelatest_tpu.models.probe import gradient_sky_probe
+    from fovpathtracing_optixcodelatest_tpu.models.scene import build_scene
+    from fovpathtracing_optixcodelatest_tpu.render import film
+    from fovpathtracing_optixcodelatest_tpu.render.renderer import render_frame
+
+    width, height = 960, 540
+    meshes, cam = scenes.box_city(n=24, seed=0)
+    t0 = time.perf_counter()
+    scene = build_scene(meshes, probe=gradient_sky_probe())
+    build_s = time.perf_counter() - t0
+    config = RenderConfig(width=width, height=height)
+    schedule = FoveationSchedule.reference_32_16_8()
+    camp = dataclasses.replace(cam, aspect=width / height).device_params()
+    pad = film.schedule_padding(schedule, width, height)
+    canvas = film.new_canvas(width, height, pad)
+    gx = jnp.asarray(width // 2, jnp.int32)
+    gy = jnp.asarray(height // 2, jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    print(
+        f"scene: {scene.num_triangles} tris, bvh {scene.bvh.num_nodes} nodes, "
+        f"build {build_s:.2f}s, device {jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    canvas, frame, stats = render_frame(
+        scene, camp, gx, gy, jnp.asarray(0, jnp.int32), canvas, key,
+        config, schedule,
+    )
+    jax.block_until_ready(frame)
+    print(f"compile+first frame: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    n_frames = 5
+    t0 = time.perf_counter()
+    traces = 0
+    for i in range(n_frames):
+        canvas, frame, stats = render_frame(
+            scene, camp, gx, gy, jnp.asarray(i + 1, jnp.int32), canvas,
+            jax.random.fold_in(key, i + 1), config, schedule,
+        )
+        traces += int(stats["traces"])
+    jax.block_until_ready(frame)
+    dt = time.perf_counter() - t0
+
+    fps = n_frames / dt
+    mrays = traces / dt / 1e6
+    print(
+        f"{n_frames} frames in {dt:.2f}s -> {fps:.2f} fps "
+        f"(reference foveated anchor: 30.9 fps on its GPU), "
+        f"{traces} traversal queries, {mrays:.1f} Mrays/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s/chip",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 200.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""The complete device scene: geometry + BVH + materials + textures + probe.
+
+This pytree is the TPU analog of everything the reference uploads before
+rendering — the GAS (buildAccel, SimplePathtracer.cpp:602-746), the SBT
+hit-group records (:534-599), texture objects (:748-799), and the probe
+buffers (setProbe, :292-308). It is a single jit-traceable argument: swap the
+scene, keep the compiled renderer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from fovpathtracing_optixcodelatest_tpu.models.material import MaterialTable
+from fovpathtracing_optixcodelatest_tpu.models.mesh import (
+    HostMesh,
+    SceneGeometry,
+    flatten_meshes,
+    host_triangles,
+)
+from fovpathtracing_optixcodelatest_tpu.models.probe import ProbeParams, constant_probe
+from fovpathtracing_optixcodelatest_tpu.models.texture import (
+    TextureArray,
+    build_texture_array,
+)
+from fovpathtracing_optixcodelatest_tpu.ops.bvh import BVH, build as build_bvh
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    geom: SceneGeometry
+    bvh: BVH
+    materials: MaterialTable
+    textures: TextureArray
+    probe: ProbeParams
+
+    @property
+    def num_triangles(self) -> int:
+        return self.geom.num_triangles
+
+
+jax.tree_util.register_dataclass(
+    Scene,
+    data_fields=["geom", "bvh", "materials", "textures", "probe"],
+    meta_fields=[],
+)
+
+
+def build_scene(
+    meshes: Sequence[HostMesh],
+    probe: Optional[ProbeParams] = None,
+    texture_images: Optional[Sequence[np.ndarray]] = None,
+) -> Scene:
+    """Flatten meshes, build the BVH, pack textures, attach the probe.
+
+    Default lighting is the reference's AMBIENT_LIGHT preset: a constant
+    probe of 5.0 * 0.5 = 2.5 per channel (main.cpp:225-233 loadColor call).
+    """
+    geom, materials = flatten_meshes(meshes)
+    tris = host_triangles(meshes)
+    bvh = build_bvh(tris)
+    if probe is None:
+        probe = constant_probe((2.5, 2.5, 2.5))
+    textures = build_texture_array(list(texture_images or []))
+    return Scene(
+        geom=geom, bvh=bvh, materials=materials, textures=textures, probe=probe
+    )

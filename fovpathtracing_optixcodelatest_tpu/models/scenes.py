@@ -1,0 +1,102 @@
+"""Procedural test/benchmark scenes.
+
+The reference loads Crytek Sponza / San Miguel / Lost Empire OBJs from absolute
+paths outside the repo (main.cpp:195-205) — no assets ship in-tree. These
+generators provide deterministic stand-ins at controllable triangle counts:
+``cornell`` for golden-image integrator tests, ``box_city`` as the
+Sponza-class benchmark scene (closed-ish architecture, heavy occlusion),
+``furnace_sphere`` for energy tests.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from fovpathtracing_optixcodelatest_tpu.models.camera import Camera
+from fovpathtracing_optixcodelatest_tpu.models.material import Material
+from fovpathtracing_optixcodelatest_tpu.models.mesh import (
+    HostMesh,
+    make_box,
+    make_icosphere,
+    make_quad,
+)
+
+
+def _matte(color, roughness=1.0) -> Material:
+    """Diffuse-ish material with emission/transmission off (the reference's
+    defaults emit white and transmit 0.4 — Material.h:13-38 — which is never
+    what a scene wall wants)."""
+    return Material(
+        color=color, emission=(0.0, 0.0, 0.0), metallic=0.0, specular=0.5,
+        specular_tint=0.0, roughness=roughness, transmission=0.0, eta=1.4,
+    )
+
+
+def cornell(sphere_subdiv: int = 2) -> Tuple[List[HostMesh], Camera]:
+    """Cornell-style box: white floor/ceiling/back, red/green walls, one
+    glossy sphere, one mirror-ish box. Lit by the environment through the open
+    front (+z). ~1.4k triangles."""
+    s = 2.0
+    meshes = [
+        make_quad((-s, -s, s), (s, -s, s), (s, -s, -s), (-s, -s, -s), _matte((0.73, 0.73, 0.73))),  # floor
+        make_quad((-s, s, -s), (s, s, -s), (s, s, s), (-s, s, s), _matte((0.73, 0.73, 0.73))),  # ceiling
+        make_quad((-s, -s, -s), (s, -s, -s), (s, s, -s), (-s, s, -s), _matte((0.73, 0.73, 0.73))),  # back
+        make_quad((-s, -s, s), (-s, -s, -s), (-s, s, -s), (-s, s, s), _matte((0.65, 0.05, 0.05))),  # left red
+        make_quad((s, -s, -s), (s, -s, s), (s, s, s), (s, s, -s), _matte((0.12, 0.45, 0.15))),  # right green
+        make_icosphere((-0.8, -1.2, -0.5), 0.8, sphere_subdiv,
+                       Material(color=(0.9, 0.75, 0.4), emission=(0, 0, 0),
+                                metallic=0.8, roughness=0.25, specular=1.0,
+                                specular_tint=0.0, transmission=0.0, eta=1.5)),
+        make_box((1.0, -1.3, 0.6), (0.55, 0.7, 0.55), _matte((0.73, 0.73, 0.73), roughness=0.6)),
+    ]
+    cam = Camera(eye=(0.0, 0.0, 7.5), lookat=(0.0, 0.0, 0.0), up=(0, 1, 0),
+                 fov_y=40.0, aspect=1.0)
+    return meshes, cam
+
+
+def furnace_sphere(subdiv: int = 3) -> Tuple[List[HostMesh], Camera]:
+    """A single white diffuse sphere in an empty world — the white-furnace
+    setup: under a constant probe L, a perfectly white surface should converge
+    toward L (bounded by the 4-bounce cap and the Disney lobes)."""
+    mat = Material(
+        color=(1.0, 1.0, 1.0), emission=(0, 0, 0), metallic=0.0, specular=0.0,
+        specular_tint=0.0, roughness=1.0, transmission=0.0, eta=1.4,
+        subsurface=0.0,
+    )
+    meshes = [make_icosphere((0, 0, 0), 1.0, subdiv, mat)]
+    cam = Camera(eye=(0, 0, 4), lookat=(0, 0, 0), fov_y=45.0, aspect=1.0)
+    return meshes, cam
+
+
+def box_city(
+    n: int = 12, seed: int = 0, spread: float = 40.0
+) -> Tuple[List[HostMesh], Camera]:
+    """An n×n grid of boxes of random height on a ground slab — the
+    Sponza-class occlusion benchmark (12 tris per box ⇒ n²·12+12 tris; raise n
+    for San-Miguel-class counts)."""
+    rng = np.random.default_rng(seed)
+    meshes = [
+        make_box((0, -1.0, 0), (spread, 1.0, spread), _matte((0.6, 0.6, 0.6)))
+    ]
+    cell = 2 * spread / n
+    for i in range(n):
+        for j in range(n):
+            x = -spread + cell * (i + 0.5) + rng.uniform(-0.2, 0.2) * cell
+            z = -spread + cell * (j + 0.5) + rng.uniform(-0.2, 0.2) * cell
+            height = rng.uniform(1.0, 8.0)
+            half = rng.uniform(0.25, 0.45) * cell
+            color = tuple(rng.uniform(0.2, 0.9, 3))
+            meshes.append(
+                make_box((x, height - 1.0, z), (half, height, half),
+                         _matte(color, roughness=rng.uniform(0.3, 1.0)))
+            )
+    cam = Camera(
+        eye=(-spread * 1.2, spread * 0.45, spread * 1.2),
+        lookat=(0.0, 0.0, 0.0),
+        up=(0, 1, 0),
+        fov_y=45.0,
+        aspect=1.0,
+    )
+    return meshes, cam

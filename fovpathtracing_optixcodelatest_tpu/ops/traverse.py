@@ -73,8 +73,12 @@ def closest_hit(
     tmin: float,
     tmax: float,
     max_steps: int = 1 << 30,
+    active=None,
 ):
     """Closest-hit traversal.
+
+    ``active`` (optional (N,) bool) masks dead rays out of the walk entirely
+    (they start at END) — the wavefront loop's done-mask hook.
 
     Returns dict: t (N,), tri_id (N,) int32 original ids (-1 miss), u, v,
     hit (N,) bool, steps () int32 (total while-loop iterations, for stats).
@@ -85,9 +89,14 @@ def closest_hit(
     oct_base = _octant(direction) * m
     hit_flat = bvh.hit_link.reshape(-1)
     miss_flat = bvh.miss_link.reshape(-1)
+    start_node = (
+        jnp.zeros((n,), dtype=jnp.int32)
+        if active is None
+        else jnp.where(active, 0, m).astype(jnp.int32)
+    )
 
     state = dict(
-        node=jnp.zeros((n,), dtype=jnp.int32),
+        node=start_node,
         t=jnp.full((n,), jnp.inf, dtype=jnp.float32),
         u=jnp.zeros((n,), dtype=jnp.float32),
         v=jnp.zeros((n,), dtype=jnp.float32),
@@ -149,6 +158,7 @@ def occluded(
     tmin: float,
     tmax: float,
     max_steps: int = 1 << 30,
+    active=None,
 ):
     """Any-hit occlusion query with back-face culling; rays terminate on first
     hit (the TERMINATE_ON_FIRST_HIT/CULL_BACK_FACING semantics of the
@@ -159,9 +169,14 @@ def occluded(
     oct_base = _octant(direction) * m
     hit_flat = bvh.hit_link.reshape(-1)
     miss_flat = bvh.miss_link.reshape(-1)
+    start_node = (
+        jnp.zeros((n,), dtype=jnp.int32)
+        if active is None
+        else jnp.where(active, 0, m).astype(jnp.int32)
+    )
 
     state = dict(
-        node=jnp.zeros((n,), dtype=jnp.int32),
+        node=start_node,
         occ=jnp.zeros((n,), dtype=bool),
         steps=jnp.zeros((), dtype=jnp.int32),
     )

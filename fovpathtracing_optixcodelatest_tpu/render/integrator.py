@@ -1,0 +1,228 @@
+"""Wavefront path-tracing integrator.
+
+Behavior twin of the reference megakernel (deviceProgram.cu __raygen__ bounce
+loop :497-534 + __closesthit__radiance :619-732 + SampleLights :303-344),
+restructured TPU-first: the whole ray batch advances one bounce at a time under
+``lax.scan``; each bounce is one closest-hit traversal, vectorized shading
+(probe NEE with MIS + Disney BSDF sampling), and one occlusion traversal. Dead
+lanes are masked, not compacted (bounce cap is 4; compaction is a later perf
+knob — SURVEY.md §5.7).
+
+Reference semantics preserved exactly:
+- Environment light contributes ONLY via NEE (the miss program adds nothing,
+  deviceProgram.cu:253-282); primary-ray misses composite the backplate via
+  alpha in the film stage (:495,558).
+- A hit's NEE + emission contribution is DISCARDED if its BSDF sample fails
+  (pdf<=0 sets DONE before the radiance add, :515-527 ordering).
+- Emission is added on primary hits only (:696-698).
+- alpha is *assigned* 1 on any non-catcher hit; shadow-catcher hits
+  *accumulate* throughput·SampleShadow instead (:646-651,691-694).
+- eta/absorption medium tracking flips on transmission (:673-683,717-721);
+  absorption is tracked but never applied — same as the reference.
+- MIS weight: csky=cbsdf=0.5 ⇒ weight = skyPdf/(bsdfPdf+skyPdf) (:326-339).
+
+Deviation (documented): the reference's shadow-catcher *pass-through* for
+secondary rays (:646-651) decrements depth and re-traces, which is unbounded;
+here catcher hits on secondary rays shade normally.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from fovpathtracing_optixcodelatest_tpu.config import RenderConfig
+from fovpathtracing_optixcodelatest_tpu.models.material import (
+    MATERIAL_FLAG_SHADOW_CATCHER,
+)
+from fovpathtracing_optixcodelatest_tpu.models.scene import Scene
+from fovpathtracing_optixcodelatest_tpu.models.texture import sample_bilinear_wrap
+from fovpathtracing_optixcodelatest_tpu.ops import bsdf as bsdf_ops
+from fovpathtracing_optixcodelatest_tpu.ops import probe_sampling as probe_ops
+from fovpathtracing_optixcodelatest_tpu.ops import traverse
+from fovpathtracing_optixcodelatest_tpu.ops.rng import ray_uniforms
+from fovpathtracing_optixcodelatest_tpu.ops.sampling import (
+    basis_from_vector,
+    dot,
+    face_forward,
+)
+
+
+def trace_paths(
+    scene: Scene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    active: jnp.ndarray,
+    key: jnp.ndarray,
+    config: RenderConfig,
+    ray_ids: jnp.ndarray | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """Trace N paths to completion.
+
+    Args:
+      origin/direction: (N, 3) primary rays; active: (N,) ray-is-live mask
+        (foveation ring rejection enters here, deviceProgram.cu:435-440).
+      key: PRNG key; per-bounce, per-ray streams are folded in from
+        ``ray_ids`` (global ray indices — see ops/rng.py; defaults to arange).
+    Returns dict:
+      radiance (N, 3) — per-path sum of NEE/emission contributions ("result").
+      alpha (N, 3) — backplate compositing alpha (see module docstring).
+      normal/albedo (N, 3) — primary-hit AOVs (denoiser inputs,
+        SimplePathtracer.cpp:246-260).
+      traces () int32 — number of traversal queries executed (perf metric).
+    """
+    n = origin.shape[0]
+    if ray_ids is None:
+        ray_ids = jnp.arange(n, dtype=jnp.int32)
+    f3 = lambda v: jnp.full((n, 3), v, dtype=jnp.float32)  # noqa: E731
+
+    carry = dict(
+        origin=origin,
+        direction=direction,
+        throughput=f3(1.0),
+        eta=jnp.ones((n,), dtype=jnp.float32),
+        radiance=f3(0.0),
+        alpha=f3(0.0),
+        normal=f3(0.0),
+        albedo=f3(0.0),
+        alive=active,
+        traces=jnp.zeros((), dtype=jnp.int32),
+    )
+
+    def bounce(carry, depth):
+        o = carry["origin"]
+        d = carry["direction"]
+        alive = carry["alive"]
+        eta_in = carry["eta"]
+
+        hit = traverse.closest_hit(
+            scene.bvh, o, d, config.tmin, config.tmax, active=alive
+        )
+        hit_mask = alive & hit["hit"]
+        tri = jnp.maximum(hit["tri_id"], 0)
+
+        p = o + hit["t"][:, None] * d
+        p = jnp.where(hit_mask[:, None], p, o)  # keep dead lanes finite
+        ng = scene.geom.geometric_normal(tri)
+        nrm = face_forward(ng, -d)  # faceforward(N0, -ray_dir, N0) (cu:634)
+
+        mat = scene.materials.gather(jnp.take(scene.geom.tri_material, tri))
+        is_catcher = (mat.flags & MATERIAL_FLAG_SHADOW_CATCHER) != 0
+
+        # albedo: material color, texture-modulated when present (cu:655-670)
+        tex_id = jnp.take(scene.geom.tri_texture, tri)
+        bu = hit["u"][:, None]
+        bv = hit["v"][:, None]
+        uv = (
+            (1.0 - bu - bv) * jnp.take(scene.geom.tri_uv0, tri, axis=0)
+            + bu * jnp.take(scene.geom.tri_uv1, tri, axis=0)
+            + bv * jnp.take(scene.geom.tri_uv2, tri, axis=0)
+        )
+        tex_col = sample_bilinear_wrap(scene.textures, tex_id, uv)
+        albedo = jnp.where((tex_id >= 0)[:, None], tex_col, mat.color)
+
+        # medium interface (cu:673-683)
+        entering = eta_in == 1.0
+        out_eta = jnp.where(entering, mat.eta, 1.0)
+
+        # ---- NEE probe sampling with MIS (SampleLights/SampleShadow) ----
+        u_all = ray_uniforms(jax.random.fold_in(key, depth), ray_ids, 8)
+        wi, sky_col, sky_pdf = probe_ops.probe_sample(
+            scene.probe, u_all[:, 0], u_all[:, 1]
+        )
+        occl = traverse.occluded(
+            scene.bvh, p, wi, config.tmin, config.tmax, active=hit_mask
+        )
+        view = -d
+        nee_pdf = bsdf_ops.bsdf_pdf(mat, eta_in, out_eta, nrm, view, wi)
+        nee_f = bsdf_ops.bsdf_eval(mat, albedo, eta_in, out_eta, nrm, view, wi)
+        denom = 0.5 * nee_pdf + 0.5 * sky_pdf
+        weight = jnp.where(denom > 0, 0.5 * sky_pdf / jnp.maximum(denom, 1e-20), 0.0)
+        valid = (nee_pdf > 0.0) & (weight > 0.0) & (sky_pdf > 0.0)
+        light_val = jnp.where(
+            valid[:, None],
+            weight[:, None]
+            * sky_col
+            * nee_f
+            * jnp.abs(dot(wi, nrm))[:, None]
+            / jnp.maximum(sky_pdf, 1e-20)[:, None],
+            0.0,
+        )
+        nee_contrib = jnp.where((~occl)[:, None], light_val, 0.0)
+        shadow_contrib = jnp.where(occl[:, None], light_val, 0.0)
+
+        vert_radiance = jnp.where(
+            (~is_catcher)[:, None], carry["throughput"] * nee_contrib, 0.0
+        )
+        # emission on primary hits only (cu:696-698)
+        vert_radiance = vert_radiance + jnp.where(
+            (depth == 0) & hit_mask, 1.0, 0.0
+        )[:, None] * mat.emission
+
+        alpha = carry["alpha"]
+        alpha = jnp.where(
+            (hit_mask & ~is_catcher)[:, None],
+            1.0,
+            alpha
+            + jnp.where(
+                (hit_mask & is_catcher)[:, None],
+                carry["throughput"] * shadow_contrib,
+                0.0,
+            ),
+        )
+
+        # ---- BSDF sampling (cu:700-731) ----
+        u_frame, v_frame = basis_from_vector(nrm)
+        l_dir, pdf, _stype = bsdf_ops.bsdf_sample(
+            mat, eta_in, out_eta, u_frame, v_frame, nrm, view, u_all[:, 2:8]
+        )
+        sample_ok = pdf > 0.0
+        f_b = bsdf_ops.bsdf_eval(mat, albedo, eta_in, out_eta, nrm, view, l_dir)
+        transmitted = dot(l_dir, nrm) <= 0.0
+        eta_out = jnp.where(hit_mask & transmitted, out_eta, eta_in)
+        throughput = jnp.where(
+            (hit_mask & sample_ok)[:, None],
+            carry["throughput"]
+            * f_b
+            * jnp.abs(dot(nrm, l_dir))[:, None]
+            / jnp.maximum(pdf, 1e-20)[:, None],
+            carry["throughput"],
+        )
+
+        # contribution gate: vertex counts only if its BSDF sample succeeded
+        # (DONE-before-add ordering, cu:515-527)
+        contrib = jnp.where((hit_mask & sample_ok)[:, None], vert_radiance, 0.0)
+
+        # primary-hit AOVs
+        take_aov = (depth == 0) & hit_mask
+        normal_aov = jnp.where(take_aov[:, None], nrm, carry["normal"])
+        albedo_aov = jnp.where(take_aov[:, None], albedo, carry["albedo"])
+
+        new_carry = dict(
+            origin=jnp.where(hit_mask[:, None], p, o),
+            direction=jnp.where(hit_mask[:, None], l_dir, d),
+            throughput=throughput,
+            eta=eta_out,
+            radiance=carry["radiance"] + contrib,
+            alpha=alpha,
+            normal=normal_aov,
+            albedo=albedo_aov,
+            alive=hit_mask & sample_ok,
+            traces=carry["traces"]
+            + jnp.sum(alive.astype(jnp.int32))
+            + jnp.sum(hit_mask.astype(jnp.int32)),
+        )
+        return new_carry, None
+
+    carry, _ = jax.lax.scan(
+        bounce, carry, jnp.arange(config.max_depth, dtype=jnp.int32)
+    )
+    return {
+        "radiance": carry["radiance"],
+        "alpha": carry["alpha"],
+        "normal": carry["normal"],
+        "albedo": carry["albedo"],
+        "traces": carry["traces"],
+    }

@@ -1,0 +1,135 @@
+"""Camera ray generation for uniform and foveated launches.
+
+Twin of the raygen front half (deviceProgram.cu:392-495): pixel index =
+launch_index * factor + offset, ring rejection against the gaze center
+(:433-440), AA-jittered NDC (:479-489), direction = normalize(d.x·U + d.y·V +
+W) (:491). One call produces the full (pixels × spp) SoA ray batch for one
+foveation pass; the ring mask becomes the integrator's ``active`` mask instead
+of an early return.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from fovpathtracing_optixcodelatest_tpu.config import FoveationPass
+from fovpathtracing_optixcodelatest_tpu.models.camera import CameraParams
+from fovpathtracing_optixcodelatest_tpu.ops.rng import ray_uniforms
+from fovpathtracing_optixcodelatest_tpu.ops.sampling import normalize
+
+
+def pass_launch_dims(p: FoveationPass, width: int, height: int) -> Tuple[int, int]:
+    """Launch grid (LW, LH) in strided coords (SimplePathtracer.cpp:153-208:
+    full frame / factor for the periphery, explicit sizes for rings)."""
+    lw = p.launch_w if p.launch_w is not None else width // p.factor
+    lh = p.launch_h if p.launch_h is not None else height // p.factor
+    return lw, lh
+
+
+def pass_offset(p: FoveationPass, gaze_x, gaze_y):
+    """Frame-space offset of the launch grid; int32 (may go negative near the
+    frame edge — the reference's uint2 would wrap, SimplePathtracer.cpp:181)."""
+    if p.centered:
+        return (
+            gaze_x.astype(jnp.int32) - p.center_offset,
+            gaze_y.astype(jnp.int32) - p.center_offset,
+        )
+    z = jnp.zeros((), dtype=jnp.int32)
+    return z, z
+
+
+def generate_pass_rays(
+    camera: CameraParams,
+    p: FoveationPass,
+    width: int,
+    height: int,
+    gaze_x: jnp.ndarray,
+    gaze_y: jnp.ndarray,
+    key: jnp.ndarray,
+    antialias: bool = True,
+    sample_ids: jnp.ndarray | None = None,
+):
+    """Build the ray batch for one foveation pass.
+
+    ``sample_ids`` (k,) selects which of the pass's spp sample slots this call
+    generates (default all) — the hook for sample-parallel sharding: devices
+    pass disjoint slices and get bit-identical rays to the unsharded call
+    because jitter is keyed by global ray id (pixel·spp + sample).
+
+    Returns dict with origins (N,3), directions (N,3), active (N,), ray_ids
+    (N,) int32, pixel ring mask (LH, LW), launch dims and offsets. Ray layout
+    is pixel-major: ray = pixel * k + sample_slot.
+    """
+    lw, lh = pass_launch_dims(p, width, height)
+    ox, oy = pass_offset(p, gaze_x, gaze_y)
+    spp = p.spp
+    if sample_ids is None:
+        sample_ids = jnp.arange(spp, dtype=jnp.int32)
+    k = sample_ids.shape[0]
+    n_pix = lw * lh
+
+    lx = jnp.arange(lw, dtype=jnp.int32)
+    ly = jnp.arange(lh, dtype=jnp.int32)
+    gx, gy = jnp.meshgrid(lx, ly)  # (LH, LW)
+    idx_x = gx * p.factor + ox
+    idx_y = gy * p.factor + oy
+
+    # ring rejection on integer pixel coords (deviceProgram.cu:433-440)
+    dx = idx_x.astype(jnp.float32) - gaze_x.astype(jnp.float32)
+    dy = idx_y.astype(jnp.float32) - gaze_y.astype(jnp.float32)
+    rng = jnp.sqrt(dx * dx + dy * dy)
+    ring = (rng >= p.r_inner) & (rng <= p.r_outer)
+
+    fx = jnp.repeat(idx_x.reshape(-1).astype(jnp.float32), k)
+    fy = jnp.repeat(idx_y.reshape(-1).astype(jnp.float32), k)
+
+    pix_ids = jnp.repeat(jnp.arange(n_pix, dtype=jnp.int32), k)
+    ray_ids = pix_ids * spp + jnp.tile(sample_ids, n_pix)
+
+    if antialias:
+        jitter = ray_uniforms(key, ray_ids, 2)
+    else:
+        jitter = jnp.full((n_pix * k, 2), 0.0)
+    ndc_x = 2.0 * (fx + jitter[:, 0]) / width - 1.0
+    ndc_y = 2.0 * (fy + jitter[:, 1]) / height - 1.0
+
+    direction = normalize(
+        ndc_x[:, None] * camera.u[None, :]
+        + ndc_y[:, None] * camera.v[None, :]
+        + camera.w[None, :]
+    )
+    origin = jnp.broadcast_to(camera.eye[None, :], direction.shape)
+    # padded sample slots (id >= spp) stay inactive
+    active = jnp.repeat(ring.reshape(-1), k) & (
+        jnp.tile(sample_ids, n_pix) < spp
+    )
+    return {
+        "origin": origin,
+        "direction": direction,
+        "active": active,
+        "ray_ids": ray_ids,
+        "ring": ring,
+        "launch": (lw, lh),
+        "offset": (ox, oy),
+        "spp": spp,
+        "samples_here": k,
+    }
+
+
+def pixel_center_directions(
+    camera: CameraParams, idx_x: jnp.ndarray, idx_y: jnp.ndarray,
+    width: int, height: int
+):
+    """Unjittered pixel-center primary directions — used for the backplate
+    probe lookup. (Deviation from the reference, which reuses the *last*
+    sample's jittered direction, deviceProgram.cu:495; pixel centers are
+    deterministic and sharding-invariant.)"""
+    ndc_x = 2.0 * (idx_x.astype(jnp.float32) + 0.5) / width - 1.0
+    ndc_y = 2.0 * (idx_y.astype(jnp.float32) + 0.5) / height - 1.0
+    return normalize(
+        ndc_x.reshape(-1)[:, None] * camera.u[None, :]
+        + ndc_y.reshape(-1)[:, None] * camera.v[None, :]
+        + camera.w[None, :]
+    )

@@ -1,0 +1,225 @@
+"""The Renderer front-end: the SampleRenderer twin.
+
+Maps the reference's host renderer API (SimplePathtracer.h:45-189) onto the
+TPU stack: construction builds the scene pytree (the ctor's 10-step OptiX
+setup collapses into Scene build + one jit), ``render(gaze)`` runs the
+foveated multi-pass frame (render(), SimplePathtracer.cpp:77-214),
+``resize``/``set_camera``/``set_probe``/``download_pixels`` mirror :228-308.
+
+The whole frame — every pass's raygen, wavefront integration, and film
+composite — is ONE jitted function of (scene, camera, gaze, subframe, canvas,
+key); passes unroll statically from the FoveationSchedule. Accumulation state
+(canvas + subframe index) is functional: render_frame returns the new canvas,
+and the class shell carries it between frames (the reference's persistent
+accum_buffer + subframe_index, SimplePathtracer.cpp:210-211).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fovpathtracing_optixcodelatest_tpu.config import FoveationSchedule, RenderConfig
+from fovpathtracing_optixcodelatest_tpu.models.camera import Camera, CameraParams
+from fovpathtracing_optixcodelatest_tpu.models.mesh import HostMesh
+from fovpathtracing_optixcodelatest_tpu.models.probe import ProbeParams
+from fovpathtracing_optixcodelatest_tpu.models.scene import Scene, build_scene
+from fovpathtracing_optixcodelatest_tpu.ops import probe_sampling as probe_ops
+from fovpathtracing_optixcodelatest_tpu.render import film, raygen
+from fovpathtracing_optixcodelatest_tpu.render.integrator import trace_paths
+
+
+def render_pass_partial(
+    scene: Scene,
+    camera: CameraParams,
+    p,
+    width: int,
+    height: int,
+    gaze_x,
+    gaze_y,
+    pass_key,
+    config: RenderConfig,
+    sample_ids: Optional[jnp.ndarray] = None,
+):
+    """One foveation pass over a subset of its sample slots.
+
+    Returns (rad_sum (P,3), alpha_sum (P,3), backplate (P,3), rays dict,
+    traces). Summing these across disjoint sample_id slices reproduces the
+    full pass exactly (the psum hook for multi-chip rendering).
+    """
+    rays = raygen.generate_pass_rays(
+        camera, p, width, height, gaze_x, gaze_y,
+        jax.random.fold_in(pass_key, 0),
+        antialias=config.antialias, sample_ids=sample_ids,
+    )
+    out = trace_paths(
+        scene, rays["origin"], rays["direction"], rays["active"],
+        jax.random.fold_in(pass_key, 1), config, ray_ids=rays["ray_ids"],
+    )
+    lw, lh = rays["launch"]
+    k = rays["samples_here"]
+    n_pix = lw * lh
+    rad_sum = out["radiance"].reshape(n_pix, k, 3).sum(axis=1)
+    alpha_sum = out["alpha"].reshape(n_pix, k, 3).sum(axis=1)
+    return rad_sum, alpha_sum, rays, out["traces"]
+
+
+def pass_backplate(scene, camera, rays, width, height, p, gaze_x, gaze_y):
+    """Pixel-center probe radiance for the pass grid (backplate compositing,
+    deviceProgram.cu:495,558)."""
+    lw, lh = rays["launch"]
+    ox, oy = rays["offset"]
+    lx = jnp.arange(lw, dtype=jnp.int32)
+    ly = jnp.arange(lh, dtype=jnp.int32)
+    gx, gy = jnp.meshgrid(lx, ly)
+    idx_x = gx * p.factor + ox
+    idx_y = gy * p.factor + oy
+    dirs = raygen.pixel_center_directions(camera, idx_x, idx_y, width, height)
+    return probe_ops.probe_eval(scene.probe, probe_ops.dir_to_uv(dirs))
+
+
+@functools.partial(jax.jit, static_argnames=("config", "schedule"))
+def render_frame(
+    scene: Scene,
+    camera: CameraParams,
+    gaze_x: jnp.ndarray,
+    gaze_y: jnp.ndarray,
+    subframe: jnp.ndarray,
+    canvas: jnp.ndarray,
+    key: jnp.ndarray,
+    config: RenderConfig,
+    schedule: FoveationSchedule,
+):
+    """One full frame: all foveation passes, statically unrolled.
+
+    Returns (new_canvas, frame_u8 (H,W,3), stats dict). Pass order matters:
+    later (inner) passes overwrite ring overlap, exactly like the reference's
+    three sequential optixLaunch calls (SimplePathtracer.cpp:137-209).
+    """
+    w, h = config.width, config.height
+    pad = film.schedule_padding(schedule, w, h)
+    total_traces = jnp.zeros((), dtype=jnp.int32)
+    total_rays = 0
+
+    for i, p in enumerate(schedule.passes):
+        pass_key = jax.random.fold_in(key, i)
+        rad_sum, alpha_sum, rays, traces = render_pass_partial(
+            scene, camera, p, w, h, gaze_x, gaze_y, pass_key, config
+        )
+        backplate = pass_backplate(scene, camera, rays, w, h, p, gaze_x, gaze_y)
+        accum_color = film.shade_to_accum_color(
+            rad_sum, alpha_sum, backplate, p.spp, rays["launch"]
+        )
+        canvas = film.composite_pass(
+            canvas, accum_color, rays["ring"], p, rays["offset"],
+            subframe, pad, config.accumulate,
+        )
+        total_traces = total_traces + traces
+        lw, lh = rays["launch"]
+        total_rays += lw * lh * p.spp
+
+    frame = film.finalize(canvas, pad, config)
+    stats = {"traces": total_traces, "rays": jnp.asarray(total_rays)}
+    return canvas, frame, stats
+
+
+class Renderer:
+    """Stateful shell over the functional core (SampleRenderer twin)."""
+
+    def __init__(
+        self,
+        meshes: Optional[Sequence[HostMesh]] = None,
+        scene: Optional[Scene] = None,
+        config: RenderConfig = RenderConfig(),
+        schedule: Optional[FoveationSchedule] = None,
+        probe: Optional[ProbeParams] = None,
+        texture_images=None,
+        seed: int = 0,
+    ):
+        if scene is None:
+            if meshes is None:
+                raise ValueError("provide meshes or a prebuilt scene")
+            scene = build_scene(meshes, probe=probe, texture_images=texture_images)
+        elif probe is not None:
+            scene = Scene(
+                geom=scene.geom, bvh=scene.bvh, materials=scene.materials,
+                textures=scene.textures, probe=probe,
+            )
+        self.scene = scene
+        self.config = config
+        self.schedule = schedule or FoveationSchedule.reference_32_16_8()
+        self.camera_params: Optional[CameraParams] = None
+        self.subframe = 0
+        self._key = jax.random.PRNGKey(seed)
+        self._pad = film.schedule_padding(self.schedule, config.width, config.height)
+        self.canvas = film.new_canvas(config.width, config.height, self._pad)
+        self.last_frame: Optional[np.ndarray] = None
+
+    # ---- SampleRenderer API twins ----
+    def set_camera(self, camera: Camera) -> None:
+        """setCamera (SimplePathtracer.cpp:282-289); resets accumulation like
+        the camera_changed path (main.cpp:402-407)."""
+        cam = camera
+        if cam.aspect == 1.0 and self.config.width != self.config.height:
+            # the reference passes explicit aspect; keep caller's value
+            pass
+        self.camera_params = cam.device_params()
+        self.subframe = 0
+
+    def set_probe(self, probe: ProbeParams) -> None:
+        """setProbe (SimplePathtracer.cpp:292-308)."""
+        s = self.scene
+        self.scene = Scene(
+            geom=s.geom, bvh=s.bvh, materials=s.materials,
+            textures=s.textures, probe=probe,
+        )
+        self.subframe = 0
+
+    def resize(self, size: Tuple[int, int]) -> None:
+        """resize (SimplePathtracer.cpp:228-274): realloc canvas, reset."""
+        import dataclasses
+
+        self.config = dataclasses.replace(
+            self.config, width=size[0], height=size[1]
+        )
+        self._pad = film.schedule_padding(
+            self.schedule, self.config.width, self.config.height
+        )
+        self.canvas = film.new_canvas(
+            self.config.width, self.config.height, self._pad
+        )
+        self.subframe = 0
+
+    def render(self, gaze: Optional[Tuple[int, int]] = None) -> np.ndarray:
+        """Render one frame; gaze defaults to the frame center (the STATIC_ON
+        gaze mode, main.cpp:352-368). Returns (H, W, 3) uint8."""
+        if self.camera_params is None:
+            raise RuntimeError("set_camera() first")
+        w, h = self.config.width, self.config.height
+        if gaze is None:
+            gaze = (w // 2, h // 2)
+        gx = jnp.clip(jnp.asarray(gaze[0], dtype=jnp.int32), 0, w - 1)
+        gy = jnp.clip(jnp.asarray(gaze[1], dtype=jnp.int32), 0, h - 1)
+        frame_key = jax.random.fold_in(self._key, self.subframe)
+        self.canvas, frame, self._stats = render_frame(
+            self.scene, self.camera_params, gx, gy,
+            jnp.asarray(self.subframe, dtype=jnp.int32),
+            self.canvas, frame_key, self.config, self.schedule,
+        )
+        self.subframe += 1
+        self.last_frame = frame
+        return np.asarray(frame)
+
+    def download_pixels(self) -> np.ndarray:
+        """downloadPixels (SimplePathtracer.cpp:276-280)."""
+        if self.last_frame is None:
+            raise RuntimeError("render() first")
+        return np.asarray(self.last_frame)
+
+    @property
+    def stats(self):
+        return {k: int(v) for k, v in getattr(self, "_stats", {}).items()}
