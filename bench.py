@@ -57,16 +57,19 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # warmup / compile
+    import numpy as np
+
+    # warmup / compile. NOTE: block_until_ready does not actually block on
+    # the axon tunnel backend — a real host fetch is the only honest fence.
     t0 = time.perf_counter()
     canvas, frame, stats = render_frame(
         scene, camp, gx, gy, jnp.asarray(0, jnp.int32), canvas, key,
         config, schedule,
     )
-    jax.block_until_ready(frame)
+    _ = np.asarray(frame)
     print(f"compile+first frame: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    n_frames = 5
+    n_frames = 2
     t0 = time.perf_counter()
     traces = 0
     for i in range(n_frames):
@@ -75,7 +78,7 @@ def main() -> None:
             jax.random.fold_in(key, i + 1), config, schedule,
         )
         traces += int(stats["traces"])
-    jax.block_until_ready(frame)
+        _ = np.asarray(frame)
     dt = time.perf_counter() - t0
 
     fps = n_frames / dt

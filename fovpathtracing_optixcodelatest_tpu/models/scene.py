@@ -27,13 +27,14 @@ from fovpathtracing_optixcodelatest_tpu.models.texture import (
     TextureArray,
     build_texture_array,
 )
-from fovpathtracing_optixcodelatest_tpu.ops.bvh import BVH, build as build_bvh
+from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import WideBVH
+from fovpathtracing_optixcodelatest_tpu.ops.bvh_native import build as build_wide_bvh
 
 
 @dataclasses.dataclass(frozen=True)
 class Scene:
     geom: SceneGeometry
-    bvh: BVH
+    bvh: WideBVH
     materials: MaterialTable
     textures: TextureArray
     probe: ProbeParams
@@ -62,7 +63,7 @@ def build_scene(
     """
     geom, materials = flatten_meshes(meshes)
     tris = host_triangles(meshes)
-    bvh = build_bvh(tris)
+    bvh = build_wide_bvh(tris)
     if probe is None:
         probe = constant_probe((2.5, 2.5, 2.5))
     textures = build_texture_array(list(texture_images or []))

@@ -41,7 +41,7 @@ from fovpathtracing_optixcodelatest_tpu.models.scene import Scene
 from fovpathtracing_optixcodelatest_tpu.models.texture import sample_bilinear_wrap
 from fovpathtracing_optixcodelatest_tpu.ops import bsdf as bsdf_ops
 from fovpathtracing_optixcodelatest_tpu.ops import probe_sampling as probe_ops
-from fovpathtracing_optixcodelatest_tpu.ops import traverse
+from fovpathtracing_optixcodelatest_tpu.ops import traverse8
 from fovpathtracing_optixcodelatest_tpu.ops.rng import ray_uniforms
 from fovpathtracing_optixcodelatest_tpu.ops.sampling import (
     basis_from_vector,
@@ -78,6 +78,16 @@ def trace_paths(
         ray_ids = jnp.arange(n, dtype=jnp.int32)
     f3 = lambda v: jnp.full((n, 3), v, dtype=jnp.float32)  # noqa: E731
 
+    def _closest(o, d, act):
+        return traverse8.closest_hit(
+            scene.bvh, o, d, config.tmin, config.tmax, active=act
+        )
+
+    def _occluded(o, d, act):
+        return traverse8.occluded(
+            scene.bvh, o, d, config.tmin, config.tmax, active=act
+        )
+
     carry = dict(
         origin=origin,
         direction=direction,
@@ -97,9 +107,7 @@ def trace_paths(
         alive = carry["alive"]
         eta_in = carry["eta"]
 
-        hit = traverse.closest_hit(
-            scene.bvh, o, d, config.tmin, config.tmax, active=alive
-        )
+        hit = _closest(o, d, alive)
         hit_mask = alive & hit["hit"]
         tri = jnp.maximum(hit["tri_id"], 0)
 
@@ -132,9 +140,7 @@ def trace_paths(
         wi, sky_col, sky_pdf = probe_ops.probe_sample(
             scene.probe, u_all[:, 0], u_all[:, 1]
         )
-        occl = traverse.occluded(
-            scene.bvh, p, wi, config.tmin, config.tmax, active=hit_mask
-        )
+        occl = _occluded(p, wi, hit_mask)
         view = -d
         nee_pdf = bsdf_ops.bsdf_pdf(mat, eta_in, out_eta, nrm, view, wi)
         nee_f = bsdf_ops.bsdf_eval(mat, albedo, eta_in, out_eta, nrm, view, wi)

