@@ -283,9 +283,11 @@ def occluded(
     active=None,
     max_steps: int = 100_000,
     chunk: int | None = DEFAULT_CHUNK,
+    cull_backface: bool = True,
 ):
-    """Any-hit occlusion with back-face culling and first-hit termination.
-    Returns (N,) bool."""
+    """Any-hit occlusion with first-hit termination. Back-face culling
+    defaults on (the PT_sv5_ occlusion ray flag, deviceProgram.cu:237); the
+    04-sample shadow ray disables it. Returns (N,) bool."""
     n = origin.shape[0]
     if active is None:
         active = jnp.ones((n,), dtype=bool)
@@ -294,7 +296,7 @@ def occluded(
             lambda b, o, d, a: {
                 "occ": occluded(
                     b, o, d, tmin, tmax, active=a, max_steps=max_steps,
-                    chunk=None,
+                    chunk=None, cull_backface=cull_backface,
                 )
             },
             ("occ",),
@@ -329,7 +331,9 @@ def occluded(
             cnt = cnt + h.astype(jnp.int32)
         stack, sp = _push(stack, sp, entries_c, cnt)
 
-        leaf_out = _leaf_hits(gt, is_leaf, o_r, d_r, tmin, tmax, True)
+        leaf_out = _leaf_hits(
+            gt, is_leaf, o_r, d_r, tmin, tmax, cull_backface
+        )
         for hit_k, _t, _u, _v in leaf_out:
             occ = occ | hit_k
         return (stack, sp, occ, steps + 1)

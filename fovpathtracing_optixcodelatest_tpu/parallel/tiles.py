@@ -82,7 +82,7 @@ def render_frame_sharded(
         for i, p in enumerate(schedule.passes):
             pass_key = jax.random.fold_in(key, i)
             sample_ids = _device_sample_ids(p.spp, n_dev, dev)
-            rad_sum, alpha_sum, rays, traces = render_pass_partial(
+            rad_sum, alpha_sum, rays, traces, _aovs = render_pass_partial(
                 scene, camera, p, w, h, gaze_x, gaze_y, pass_key, config,
                 sample_ids=sample_ids,
             )

@@ -65,7 +65,12 @@ def render_pass_partial(
     n_pix = lw * lh
     rad_sum = out["radiance"].reshape(n_pix, k, 3).sum(axis=1)
     alpha_sum = out["alpha"].reshape(n_pix, k, 3).sum(axis=1)
-    return rad_sum, alpha_sum, rays, out["traces"]
+    # primary-hit AOV sums (denoiser guide layers, SimplePathtracer.cpp:246-260)
+    aovs = {
+        "normal": out["normal"].reshape(n_pix, k, 3).sum(axis=1),
+        "albedo": out["albedo"].reshape(n_pix, k, 3).sum(axis=1),
+    }
+    return rad_sum, alpha_sum, rays, out["traces"], aovs
 
 
 def pass_backplate(scene, camera, rays, width, height, p, gaze_x, gaze_y):
@@ -107,7 +112,7 @@ def render_frame(
 
     for i, p in enumerate(schedule.passes):
         pass_key = jax.random.fold_in(key, i)
-        rad_sum, alpha_sum, rays, traces = render_pass_partial(
+        rad_sum, alpha_sum, rays, traces, _aovs = render_pass_partial(
             scene, camera, p, w, h, gaze_x, gaze_y, pass_key, config
         )
         backplate = pass_backplate(scene, camera, rays, w, h, p, gaze_x, gaze_y)
@@ -125,6 +130,70 @@ def render_frame(
     frame = film.finalize(canvas, pad, config)
     stats = {"traces": total_traces, "rays": jnp.asarray(total_rays)}
     return canvas, frame, stats
+
+
+@functools.partial(jax.jit, static_argnames=("config", "schedule"))
+def render_frame_aov(
+    scene: Scene,
+    camera: CameraParams,
+    gaze_x: jnp.ndarray,
+    gaze_y: jnp.ndarray,
+    subframe: jnp.ndarray,
+    canvas: jnp.ndarray,
+    key: jnp.ndarray,
+    config: RenderConfig,
+    schedule: FoveationSchedule,
+):
+    """render_frame + full-frame normal/albedo AOV images (the denoiser guide
+    layers the reference allocates, SimplePathtracer.cpp:246-260). AOVs are
+    composited per pass with the same block replication as color, always
+    overwriting (no accumulation — matching the per-frame AOV writes,
+    deviceProgram.cu:611-614)."""
+    import dataclasses as _dc
+
+    w, h = config.width, config.height
+    pad = film.schedule_padding(schedule, w, h)
+    normal_canvas = film.new_canvas(w, h, pad)
+    albedo_canvas = film.new_canvas(w, h, pad)
+    total_traces = jnp.zeros((), dtype=jnp.int32)
+
+    for i, p in enumerate(schedule.passes):
+        pass_key = jax.random.fold_in(key, i)
+        rad_sum, alpha_sum, rays, traces, aovs = render_pass_partial(
+            scene, camera, p, w, h, gaze_x, gaze_y, pass_key, config
+        )
+        backplate = pass_backplate(scene, camera, rays, w, h, p, gaze_x, gaze_y)
+        accum_color = film.shade_to_accum_color(
+            rad_sum, alpha_sum, backplate, p.spp, rays["launch"]
+        )
+        lw, lh = rays["launch"]
+        canvas = film.composite_pass(
+            canvas, accum_color, rays["ring"], p, rays["offset"],
+            subframe, pad, config.accumulate,
+        )
+        p_overwrite = _dc.replace(p, redraw=True)
+        for target, key_name in ((0, "normal"), (1, "albedo")):
+            img = (aovs[key_name] / p.spp).reshape(lh, lw, 3)
+            if target == 0:
+                normal_canvas = film.composite_pass(
+                    normal_canvas, img, rays["ring"], p_overwrite,
+                    rays["offset"], subframe, pad, False,
+                )
+            else:
+                albedo_canvas = film.composite_pass(
+                    albedo_canvas, img, rays["ring"], p_overwrite,
+                    rays["offset"], subframe, pad, False,
+                )
+        total_traces = total_traces + traces
+
+    frame = film.finalize(canvas, pad, config)
+    crop = lambda c: jax.lax.dynamic_slice(c, (pad, pad, 0), (h, w, 3))  # noqa: E731
+    aov_out = {
+        "accum": crop(canvas),
+        "normal": crop(normal_canvas),
+        "albedo": crop(albedo_canvas),
+    }
+    return canvas, frame, aov_out, {"traces": total_traces}
 
 
 class Renderer:
