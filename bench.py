@@ -52,7 +52,7 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     print(
-        f"scene: {scene.num_triangles} tris, bvh {scene.bvh.num_nodes} nodes, "
+        f"scene: {scene.num_triangles} tris, bvh {scene.bvh.num_rows} rows, "
         f"build {build_s:.2f}s, device {jax.devices()[0]}",
         file=sys.stderr,
     )
