@@ -1,0 +1,189 @@
+"""Golden-image regression + foveation SSIM correctness.
+
+The reference's verification was eyeballing a window plus one committed PNG
+(SURVEY.md §4); here the same idea is automated: a committed golden render is
+compared by SSIM + pixel tolerance, and the foveated pipeline is checked
+against a uniform full-resolution render of the same scene in the fovea
+(the scaled-down version of BASELINE.json's SSIM >= 0.98 north star).
+"""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fovpathtracing_optixcodelatest_tpu.config import (
+    FoveationPass,
+    FoveationSchedule,
+    RenderConfig,
+)
+from fovpathtracing_optixcodelatest_tpu.models import scenes
+from fovpathtracing_optixcodelatest_tpu.models.probe import constant_probe
+from fovpathtracing_optixcodelatest_tpu.models.scene import build_scene
+from fovpathtracing_optixcodelatest_tpu.render import film
+from fovpathtracing_optixcodelatest_tpu.render.renderer import render_frame
+from fovpathtracing_optixcodelatest_tpu.utils.metrics import ssim
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+GOLDEN_PATH = os.path.join(GOLDEN_DIR, "open_scene_48x36_u4.npz")
+
+
+def _open_scene():
+    """Open-air scene: NEE-friendly (most probe samples unoccluded), like the
+    reference's outdoor OBJ scenes. Closed boxes + high-contrast HDRs make
+    NEE-only lighting needle-noisy — the reference warns about exactly this
+    (main.cpp:30-31) and defaults to AMBIENT_LIGHT."""
+    from fovpathtracing_optixcodelatest_tpu.models.camera import Camera
+    from fovpathtracing_optixcodelatest_tpu.models.material import Material
+    from fovpathtracing_optixcodelatest_tpu.models.mesh import (
+        make_box,
+        make_icosphere,
+        make_quad,
+    )
+
+    matte = lambda c: Material(color=c, emission=(0, 0, 0), metallic=0.0,  # noqa: E731
+                               roughness=1.0, transmission=0.0, specular=0.3,
+                               specular_tint=0.0)
+    meshes = [
+        make_quad((-20, 0, 20), (20, 0, 20), (20, 0, -20), (-20, 0, -20),
+                  matte((0.7, 0.7, 0.7))),
+        make_icosphere((0, 1.0, 0), 1.0, 1, matte((0.8, 0.3, 0.2))),
+        make_box((2.5, 0.75, -1), (0.75, 0.75, 0.75), matte((0.2, 0.4, 0.8))),
+    ]
+    cam = Camera(eye=(0, 3.5, 7), lookat=(0, 0.8, 0), fov_y=45.0)
+    return meshes, cam
+
+
+def _render(schedule, w=48, h=36, subframes=1, seed=0):
+    meshes, cam = _open_scene()
+    scene = build_scene(meshes, probe=constant_probe((2.5, 2.5, 2.5)))
+    cfg = RenderConfig(width=w, height=h)
+    camp = dataclasses.replace(cam, aspect=w / h).device_params()
+    pad = film.schedule_padding(schedule, w, h)
+    canvas = film.new_canvas(w, h, pad)
+    key = jax.random.PRNGKey(seed)
+    frame = None
+    for sf in range(subframes):
+        canvas, frame, _ = render_frame(
+            scene, camp,
+            jnp.asarray(w // 2, jnp.int32), jnp.asarray(h // 2, jnp.int32),
+            jnp.asarray(sf, jnp.int32), canvas, jax.random.fold_in(key, sf),
+            cfg, schedule,
+        )
+    return np.asarray(frame)
+
+
+def test_golden_cornell_uniform():
+    frame = _render(FoveationSchedule.uniform(4))
+    if not os.path.exists(GOLDEN_PATH):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(GOLDEN_PATH, frame=frame)
+        pytest.skip("golden created; rerun to compare")
+    golden = np.load(GOLDEN_PATH)["frame"]
+    s = ssim(frame / 255.0, golden / 255.0)
+    # bitwise-stable on the same stack; SSIM guards against cross-version
+    # numeric drift without false alarms
+    assert s > 0.98, f"golden SSIM {s}"
+    assert np.abs(frame.astype(int) - golden.astype(int)).mean() < 4.0
+
+
+def _box3(x):
+    from fovpathtracing_optixcodelatest_tpu.utils.metrics import _uniform_filter
+
+    return _uniform_filter(x, 3)
+
+
+def test_foveated_matches_uniform_in_fovea():
+    """Fovea region of the foveated render ≈ uniform render at the same spp.
+    Different RNG streams ⇒ compare 3x3-blurred images (MC noise averaged)."""
+    w, h, r = 48, 36, 12
+    spp = 16
+    fov_sched = FoveationSchedule(
+        passes=(
+            FoveationPass(factor=4, spp=2, r_inner=float(r), r_outer=1e9,
+                          redraw=False),
+            FoveationPass(factor=1, spp=spp, r_inner=0.0, r_outer=float(r + 1),
+                          redraw=True, launch_w=2 * (r + 1), launch_h=2 * (r + 1),
+                          centered=True, center_offset=r + 1),
+        )
+    )
+    uni_sched = FoveationSchedule.uniform(spp)
+    frames_f = _render(fov_sched, w, h, seed=1)
+    frames_u = _render(uni_sched, w, h, seed=2)
+    cx, cy = w // 2, h // 2
+    rr = r - 4  # stay inside the ring boundary
+    fov_crop = _box3(frames_f[cy - rr : cy + rr, cx - rr : cx + rr] / 255.0)
+    uni_crop = _box3(frames_u[cy - rr : cy + rr, cx - rr : cx + rr] / 255.0)
+    s = ssim(fov_crop, uni_crop)
+    assert s > 0.6, f"fovea SSIM vs uniform {s}"
+    assert abs(fov_crop.mean() - uni_crop.mean()) < 0.06
+    assert np.abs(fov_crop - uni_crop).mean() < 0.08
+
+
+def _coverage_sentinel(margin, w=48, h=36, r=10):
+    """Render one foveated frame over a sentinel-filled canvas; returns the
+    count of frame pixels never written by any pass."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    sched = FoveationSchedule(
+        passes=(
+            FoveationPass(factor=4, spp=1, r_inner=float(r), r_outer=1e9,
+                          redraw=False),
+            FoveationPass(factor=1, spp=1, r_inner=0.0,
+                          r_outer=float(r + margin), redraw=True,
+                          launch_w=2 * (r + margin), launch_h=2 * (r + margin),
+                          centered=True, center_offset=r + margin),
+        )
+    )
+    meshes, cam = _open_scene()
+    scene = build_scene(meshes, probe=constant_probe((2.5, 2.5, 2.5)))
+    cfg = RenderConfig(width=w, height=h)
+    camp = dc.replace(cam, aspect=w / h).device_params()
+    pad = film.schedule_padding(sched, w, h)
+    sentinel = -7.0
+    canvas = film.new_canvas(w, h, pad) + sentinel
+    canvas, _frame, _ = render_frame(
+        scene, camp, jnp.asarray(w // 2, jnp.int32),
+        jnp.asarray(h // 2, jnp.int32), jnp.asarray(0, jnp.int32),
+        canvas, jax.random.PRNGKey(0), cfg, sched,
+    )
+    crop = np.asarray(canvas)[pad : pad + h, pad : pad + w]
+    return int((crop == sentinel).all(axis=-1).sum()), sched, w, h
+
+
+def test_ring_coverage_margin():
+    """The inner pass must overlap the periphery ring by the periphery's
+    block diagonal (stride·√2 ≈ 6 px at factor 4) or rejected boundary blocks
+    leave unwritten pixels — the reason the reference pads its ring bounds
+    (SimplePathtracer.cpp:174, r_outer = outer_radius + 2 at stride 2).
+    Verified structurally with a sentinel canvas."""
+    holes_good, _, _, _ = _coverage_sentinel(margin=6)
+    assert holes_good == 0
+    holes_bad, _, _, _ = _coverage_sentinel(margin=1)
+    assert holes_bad > 0  # insufficient margin leaves a ring of holes
+
+
+def test_periphery_block_structure():
+    w, h, r = 48, 36, 10
+    sched = FoveationSchedule(
+        passes=(
+            FoveationPass(factor=4, spp=1, r_inner=float(r), r_outer=1e9,
+                          redraw=False),
+            FoveationPass(factor=1, spp=2, r_inner=0.0, r_outer=float(r + 6),
+                          redraw=True, launch_w=2 * (r + 6),
+                          launch_h=2 * (r + 6), centered=True,
+                          center_offset=r + 6),
+        )
+    )
+    frame = _render(sched, w, h)
+    # block structure in a far corner (outside the fovea ring): 4x4 fill
+    block = frame[0:4, 0:4]
+    assert (block == block[0, 0]).all()
+    block2 = frame[32:36, 44:48]
+    assert (block2 == block2[0, 0]).all()
