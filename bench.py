@@ -69,16 +69,19 @@ def main() -> None:
     _ = np.asarray(frame)
     print(f"compile+first frame: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    n_frames = 2
+    # frames chain through the accumulation canvas (true sequential
+    # dependency); fetch ONE scalar at the end — the tunnel charges ~0.6s+
+    # per host transfer, which must not pollute the device-throughput metric
+    n_frames = 3
     t0 = time.perf_counter()
-    traces = 0
+    traces = jnp.zeros((), jnp.int32)
     for i in range(n_frames):
         canvas, frame, stats = render_frame(
             scene, camp, gx, gy, jnp.asarray(i + 1, jnp.int32), canvas,
             jax.random.fold_in(key, i + 1), config, schedule,
         )
-        traces += int(stats["traces"])
-        _ = np.asarray(frame)
+        traces = traces + stats["traces"]
+    traces = int(traces)
     dt = time.perf_counter() - t0
 
     fps = n_frames / dt

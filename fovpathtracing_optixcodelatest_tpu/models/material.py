@@ -70,7 +70,13 @@ _VEC_FIELDS = ("color", "emission", "absorption")
 
 @dataclasses.dataclass(frozen=True)
 class MaterialTable:
-    """SoA table of M materials; a pytree of (M,) / (M,3) arrays."""
+    """SoA table of M materials; a pytree of (M,) / (M,3) arrays.
+
+    ``packed`` (M, 24) carries every parameter in one row so the per-ray
+    material lookup is a SINGLE row gather (17 separate per-field gathers
+    measured ~0.5 s/frame in profiles); ``gather`` reconstructs the field
+    views from the gathered rows.
+    """
 
     color: jnp.ndarray  # (M, 3)
     emission: jnp.ndarray  # (M, 3)
@@ -89,6 +95,7 @@ class MaterialTable:
     transmission: jnp.ndarray
     bump: jnp.ndarray
     flags: jnp.ndarray  # (M,) int32
+    packed: jnp.ndarray  # (M, 24) f32 (flags bitcast into column 22)
 
     @property
     def num_materials(self) -> int:
@@ -112,18 +119,33 @@ class MaterialTable:
         kw["flags"] = jnp.asarray(
             np.array([m.flags for m in materials], dtype=np.int32)
         )
+        m_count = len(materials)
+        packed = np.zeros((m_count, 24), dtype=np.float32)
+        packed[:, 0:3] = np.asarray(kw["color"])
+        packed[:, 3:6] = np.asarray(kw["emission"])
+        packed[:, 6:9] = np.asarray(kw["absorption"])
+        for j, f in enumerate(_SCALAR_FIELDS):
+            packed[:, 9 + j] = np.asarray(kw[f])
+        packed[:, 22] = np.asarray(kw["flags"]).view(np.float32)
+        kw["packed"] = jnp.asarray(packed)
         return MaterialTable(**kw)
 
     def gather(self, ids: jnp.ndarray) -> "MaterialTable":
-        """Per-ray material parameters: every field gathered by material id.
-        Returns a MaterialTable whose leading dim is the ray batch."""
+        """Per-ray material parameters via ONE packed-row gather."""
+        import jax as _jax
+
         ids = jnp.clip(ids, 0, self.num_materials - 1)
-        return MaterialTable(
-            **{
-                f.name: jnp.take(getattr(self, f.name), ids, axis=0)
-                for f in dataclasses.fields(self)
-            }
-        )
+        g = jnp.take(self.packed, ids, axis=0)  # (N, 24)
+        kw = {
+            "color": g[:, 0:3],
+            "emission": g[:, 3:6],
+            "absorption": g[:, 6:9],
+        }
+        for j, f in enumerate(_SCALAR_FIELDS):
+            kw[f] = g[:, 9 + j]
+        kw["flags"] = _jax.lax.bitcast_convert_type(g[:, 22], jnp.int32)
+        kw["packed"] = g
+        return MaterialTable(**kw)
 
 
 jax.tree_util.register_dataclass(

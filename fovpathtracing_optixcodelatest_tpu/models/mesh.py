@@ -166,6 +166,9 @@ class SceneGeometry:
     tri_material: jnp.ndarray  # (T,) int32
     tri_texture: jnp.ndarray  # (T,) int32, -1 = untextured
     has_shading_normals: jnp.ndarray  # (T,) bool
+    # packed per-triangle attribute rows so the integrator's hit shading costs
+    # ONE gather: [gn(3), uv0(2), uv1(2), uv2(2), mat_bits, tex_bits, pad...]
+    tri_pack: jnp.ndarray  # (T, 12) f32
 
     @property
     def num_triangles(self) -> int:
@@ -234,19 +237,40 @@ def flatten_meshes(meshes: Sequence[HostMesh]) -> tuple[SceneGeometry, MaterialT
         mat_ids.append(np.full(len(idx), mat_id, dtype=np.int32))
         tex_ids.append(np.full(len(idx), mesh.diffuse_texture_id, dtype=np.int32))
 
+    v0_all = np.concatenate(v0s)
+    e1_all = np.concatenate(e1s)
+    e2_all = np.concatenate(e2s)
+    uv0_all = np.concatenate(t0s)
+    uv1_all = np.concatenate(t1s)
+    uv2_all = np.concatenate(t2s)
+    mat_all = np.concatenate(mat_ids)
+    tex_all = np.concatenate(tex_ids)
+    t_count = len(v0_all)
+
+    gn = np.cross(e1_all, e2_all)
+    gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+    tri_pack = np.zeros((t_count, 12), dtype=np.float32)
+    tri_pack[:, 0:3] = gn
+    tri_pack[:, 3:5] = uv0_all
+    tri_pack[:, 5:7] = uv1_all
+    tri_pack[:, 7:9] = uv2_all
+    tri_pack[:, 9] = mat_all.astype(np.int32).view(np.float32)
+    tri_pack[:, 10] = tex_all.astype(np.int32).view(np.float32)
+
     geom = SceneGeometry(
-        tri_v0=jnp.asarray(np.concatenate(v0s)),
-        tri_e1=jnp.asarray(np.concatenate(e1s)),
-        tri_e2=jnp.asarray(np.concatenate(e2s)),
+        tri_v0=jnp.asarray(v0_all),
+        tri_e1=jnp.asarray(e1_all),
+        tri_e2=jnp.asarray(e2_all),
         tri_n0=jnp.asarray(np.concatenate(n0s)),
         tri_n1=jnp.asarray(np.concatenate(n1s)),
         tri_n2=jnp.asarray(np.concatenate(n2s)),
-        tri_uv0=jnp.asarray(np.concatenate(t0s)),
-        tri_uv1=jnp.asarray(np.concatenate(t1s)),
-        tri_uv2=jnp.asarray(np.concatenate(t2s)),
-        tri_material=jnp.asarray(np.concatenate(mat_ids)),
-        tri_texture=jnp.asarray(np.concatenate(tex_ids)),
+        tri_uv0=jnp.asarray(uv0_all),
+        tri_uv1=jnp.asarray(uv1_all),
+        tri_uv2=jnp.asarray(uv2_all),
+        tri_material=jnp.asarray(mat_all),
+        tri_texture=jnp.asarray(tex_all),
         has_shading_normals=jnp.asarray(np.concatenate(has_ns)),
+        tri_pack=jnp.asarray(tri_pack),
     )
     table = MaterialTable.from_materials(materials)
     return geom, table

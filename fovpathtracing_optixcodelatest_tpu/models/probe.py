@@ -23,13 +23,23 @@ from fovpathtracing_optixcodelatest_tpu.ops.sampling import luminance as _lum_we
 
 @dataclasses.dataclass(frozen=True)
 class ProbeParams:
-    """Device probe: the LaunchParams ``Probe`` struct (Probe.cuh:6-21)."""
+    """Device probe: the LaunchParams ``Probe`` struct (Probe.cuh:6-21).
+
+    Carries BOTH the reference's 2-level CDF (kept for parity/tests) and a
+    Walker alias table over the flattened texel distribution — the TPU-fast
+    sampling path: O(1) per sample (two (N,)-gathers + a compare) instead of
+    a log(W)-step binary search whose per-step gathers dominated frame
+    profiles. Both sample the identical texel distribution.
+    """
 
     data: jnp.ndarray  # (H, W, 3) float32 radiance
     pdf_x: jnp.ndarray  # (H, W) row-conditional pdf
     cdf_x: jnp.ndarray  # (H, W) row-conditional cdf (inclusive)
     pdf_y: jnp.ndarray  # (H,) row marginal pdf
     cdf_y: jnp.ndarray  # (H,) row marginal cdf (inclusive)
+    alias_prob: jnp.ndarray  # (H*W,) acceptance probability
+    alias_idx: jnp.ndarray  # (H*W,) alias texel index (int32)
+    pdf_flat: jnp.ndarray  # (H*W,) joint texel pdf = pdf_x * pdf_y[row]
 
     @property
     def width(self) -> int:
@@ -42,9 +52,39 @@ class ProbeParams:
 
 jax.tree_util.register_dataclass(
     ProbeParams,
-    data_fields=["data", "pdf_x", "cdf_x", "pdf_y", "cdf_y"],
+    data_fields=[
+        "data", "pdf_x", "cdf_x", "pdf_y", "cdf_y",
+        "alias_prob", "alias_idx", "pdf_flat",
+    ],
     meta_fields=[],
 )
+
+
+def _build_alias(weights: np.ndarray):
+    """Walker/Vose alias table for a discrete distribution (numpy host build;
+    O(K) two-pointer sweep)."""
+    k = len(weights)
+    total = weights.sum()
+    if total <= 0:
+        return np.ones(k, np.float32), np.arange(k, dtype=np.int32)
+    p = weights.astype(np.float64) * (k / total)
+    prob = np.ones(k, dtype=np.float64)
+    alias = np.arange(k, dtype=np.int32)
+    order = np.argsort(p)  # small first
+    small_list = [i for i in order if p[i] < 1.0]
+    large_list = [i for i in order[::-1] if p[i] >= 1.0]
+    si = li = 0
+    while si < len(small_list) and li < len(large_list):
+        s = small_list[si]
+        lg = large_list[li]
+        prob[s] = p[s]
+        alias[s] = lg
+        p[lg] = (p[lg] + p[s]) - 1.0
+        si += 1
+        if p[lg] < 1.0:
+            small_list.append(lg)
+            li += 1
+    return prob.astype(np.float32), alias.astype(np.int32)
 
 
 def build_cdf(data: np.ndarray) -> ProbeParams:
@@ -66,12 +106,17 @@ def build_cdf(data: np.ndarray) -> ProbeParams:
     safe_total = total if total > 0 else 1.0
     pdf_y = row_sum / safe_total
     cdf_y = np.cumsum(row_sum) / safe_total
+    alias_prob, alias_idx = _build_alias(weight.reshape(-1))
+    pdf_flat = (pdf_x * pdf_y[:, None]).reshape(-1)
     return ProbeParams(
         data=jnp.asarray(rgb.astype(np.float32)),
         pdf_x=jnp.asarray(pdf_x.astype(np.float32)),
         cdf_x=jnp.asarray(cdf_x.astype(np.float32)),
         pdf_y=jnp.asarray(pdf_y.astype(np.float32)),
         cdf_y=jnp.asarray(cdf_y.astype(np.float32)),
+        alias_prob=jnp.asarray(alias_prob),
+        alias_idx=jnp.asarray(alias_idx),
+        pdf_flat=jnp.asarray(pdf_flat.astype(np.float32)),
     )
 
 

@@ -98,11 +98,40 @@ def _lower_bound_rows(
 
 
 def probe_sample(probe: ProbeParams, r1: jnp.ndarray, r2: jnp.ndarray):
-    """Importance-sample the probe (Probe.cuh ProbeSample).
+    """Importance-sample the probe — same texel distribution as the
+    reference's 2-level CDF inversion (Probe.cuh ProbeSample) but via the
+    Walker alias table: O(1) per sample, two gathers + one compare (the
+    binary search's log(W) gather steps dominated frame profiles).
 
-    Args: uniforms r1 (rows) and r2 (cols), each (N,).
+    Args: uniforms r1 (texel pick) and r2 (accept/alias), each (N,).
     Returns: (dir (N,3), color (N,3), pdf (N,)).
     """
+    w, h = probe.width, probe.height
+    k = w * h
+    cand = jnp.minimum((r1 * k).astype(jnp.int32), k - 1)
+    accept = r2 < jnp.take(probe.alias_prob, cand, axis=0)
+    lin = jnp.where(accept, cand, jnp.take(probe.alias_idx, cand, axis=0))
+    row = lin // w
+    col = lin - row * w
+    color = jnp.take(probe.data.reshape(-1, 3), lin, axis=0)
+    pdf = jnp.take(probe.pdf_flat, lin, axis=0)
+    # NOTE: the reference uses the texel *corner* (col/W, row/H) for both the
+    # Jacobian and the returned direction (Probe.cuh:157-169); keep parity.
+    u = col.astype(jnp.float32) / w
+    v = row.astype(jnp.float32) / h
+    sin_theta = jnp.sin(v * PI)
+    zero = sin_theta == 0.0
+    pdf = jnp.where(
+        zero, 0.0, pdf * w * h / (2.0 * PI * PI * jnp.where(zero, 1.0, sin_theta))
+    )
+    direction = uv_to_dir(jnp.stack([u, v], axis=-1))
+    return direction, color, pdf
+
+
+def probe_sample_cdf(probe: ProbeParams, r1: jnp.ndarray, r2: jnp.ndarray):
+    """The reference's exact 2-level CDF inversion (Probe.cuh:138-169) — kept
+    as the distribution oracle for tests; probe_sample (alias) must match its
+    texel marginals."""
     w, h = probe.width, probe.height
     row = jnp.clip(
         jnp.searchsorted(probe.cdf_y, r1, side="left").astype(jnp.int32), 0, h - 1
@@ -115,8 +144,6 @@ def probe_sample(probe: ProbeParams, r1: jnp.ndarray, r2: jnp.ndarray):
     pdf = jnp.take(probe.pdf_x.reshape(-1), lin, axis=0) * jnp.take(
         probe.pdf_y, row, axis=0
     )
-    # NOTE: the reference uses the texel *corner* (col/W, row/H) for both the
-    # Jacobian and the returned direction (Probe.cuh:157-169); keep parity.
     u = col.astype(jnp.float32) / w
     v = row.astype(jnp.float32) / h
     sin_theta = jnp.sin(v * PI)

@@ -113,20 +113,24 @@ def trace_paths(
 
         p = o + hit["t"][:, None] * d
         p = jnp.where(hit_mask[:, None], p, o)  # keep dead lanes finite
-        ng = scene.geom.geometric_normal(tri)
+        # ONE packed attribute gather per hit (normals/uvs/ids — see
+        # SceneGeometry.tri_pack; separate per-field gathers profiled hot)
+        attr = jnp.take(scene.geom.tri_pack, tri, axis=0)  # (N, 12)
+        ng = attr[:, 0:3]
         nrm = face_forward(ng, -d)  # faceforward(N0, -ray_dir, N0) (cu:634)
 
-        mat = scene.materials.gather(jnp.take(scene.geom.tri_material, tri))
+        mat_id = jax.lax.bitcast_convert_type(attr[:, 9], jnp.int32)
+        tex_id = jax.lax.bitcast_convert_type(attr[:, 10], jnp.int32)
+        mat = scene.materials.gather(mat_id)
         is_catcher = (mat.flags & MATERIAL_FLAG_SHADOW_CATCHER) != 0
 
         # albedo: material color, texture-modulated when present (cu:655-670)
-        tex_id = jnp.take(scene.geom.tri_texture, tri)
         bu = hit["u"][:, None]
         bv = hit["v"][:, None]
         uv = (
-            (1.0 - bu - bv) * jnp.take(scene.geom.tri_uv0, tri, axis=0)
-            + bu * jnp.take(scene.geom.tri_uv1, tri, axis=0)
-            + bv * jnp.take(scene.geom.tri_uv2, tri, axis=0)
+            (1.0 - bu - bv) * attr[:, 3:5]
+            + bu * attr[:, 5:7]
+            + bv * attr[:, 7:9]
         )
         tex_col = sample_bilinear_wrap(scene.textures, tex_id, uv)
         albedo = jnp.where((tex_id >= 0)[:, None], tex_col, mat.color)
