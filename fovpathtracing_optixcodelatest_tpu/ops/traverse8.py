@@ -37,7 +37,9 @@ from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import WIDTH, WideBVH
 # Default ray-chunk length: each chunk runs its own while_loop under lax.map,
 # so a chunk of early-finishing rays stops at ITS max pop count instead of the
 # global batch max — the cheap tail-latency fix for lockstep traversal.
-DEFAULT_CHUNK = 1 << 16
+# 16k measured best on v5e (smaller chunks tighten the tail further but lose
+# gather bandwidth).
+DEFAULT_CHUNK = 1 << 14
 
 # Batcher odd-even merge network for 8 elements (19 comparators).
 _SORT_NET = (
@@ -71,10 +73,15 @@ def _sort8_desc(keys, vals):
 
 def _gather_row(table, entry, is_leaf):
     """ONE unified row gather per step: node rows and leaf rows live in the
-    same (U, 72) table, so entry type never costs a second gather."""
-    row = jnp.where(is_leaf, -entry - 1, jnp.maximum(entry, 0))
-    g = jnp.take(table, row.reshape(-1), axis=0)  # (N, 72)
-    return g.T  # (72, N) — one relayout, consumers slice (1, N) rows
+    same (U, 72) table, so entry type never costs a second gather.
+
+    The index stays 2-D (1, N): gathering with the (1,N) row directly is
+    ~12x faster than reshaping to (N,) first — that reshape is the
+    T(8,128)→T(1024) relayout pathology."""
+    row = jnp.where(is_leaf, -entry - 1, jnp.maximum(entry, 0))  # (1, N)
+    g = jnp.take(table, row, axis=0)  # (1, N, 72)
+    n = row.shape[1]
+    return g.reshape(n, table.shape[1]).T  # (72, N)
 
 
 def _expand(gt, is_node, o_r, inv_r, tmin, tlimit):
