@@ -94,6 +94,40 @@ class FoveationSchedule:
         )
 
     @staticmethod
+    def reference_32_16_8_sealed(
+        inner: int = INNER_RADIUS, outer: int = OUTER_RADIUS
+    ) -> "FoveationSchedule":
+        """The reference schedule with ring bounds padded so every pixel is
+        covered. The verbatim reference schedule leaves ~173 boundary pixels
+        per frame unwritten at 960×540 (validate_coverage finds them: a
+        stride-f pass rejects a whole block when its top-left pixel exits the
+        ring, so the finer pass must overlap by f·√2; the reference's +2
+        margin at stride 2 is not quite enough at its stride-4 boundary —
+        SimplePathtracer.cpp:174). Padding: annulus reaches outer+7
+        (covers the periphery's 4·√2 block diagonal), fovea reaches inner+4
+        (covers the annulus's 2·√2)."""
+        ao = outer + 7
+        fo = inner + 4
+        return FoveationSchedule(
+            passes=(
+                FoveationPass(
+                    factor=4, spp=8, r_inner=float(outer), r_outer=1e9,
+                    redraw=False,
+                ),
+                FoveationPass(
+                    factor=2, spp=16, r_inner=float(inner), r_outer=float(ao),
+                    redraw=True, launch_w=ao, launch_h=ao,
+                    centered=True, center_offset=ao,
+                ),
+                FoveationPass(
+                    factor=1, spp=32, r_inner=0.0, r_outer=float(fo),
+                    redraw=True, launch_w=2 * fo, launch_h=2 * fo,
+                    centered=True, center_offset=fo,
+                ),
+            )
+        )
+
+    @staticmethod
     def sweep(fovea_spp: int, annulus_spp: int, periphery_spp: int) -> "FoveationSchedule":
         """Build an spp-sweep schedule like the PT_sv4_vmv2 benchmark suite
         (e.g. 32_2_1 ... 32_16_8, see BASELINE.md)."""
@@ -105,6 +139,42 @@ class FoveationSchedule:
                 dataclasses.replace(base[2], spp=fovea_spp),
             )
         )
+
+    def validate_coverage(self, width: int, height: int,
+                          gaze=None) -> "np.ndarray":
+        """Static coverage check: returns the boolean (H, W) map of pixels NOT
+        written by any pass for the given gaze (default frame center).
+
+        Ring passes reject a whole stride-f block when the block's top-left
+        pixel falls outside [r_inner, r_outer], so an inner pass must overlap
+        the next-coarser pass by that pass's block diagonal (f·√2) or a ring
+        of pixels goes unwritten — the reason the reference pads its ring
+        bounds (SimplePathtracer.cpp:174). Call this when building custom
+        schedules; tests assert the shipped schedules are hole-free.
+        """
+        import numpy as np
+
+        if gaze is None:
+            gaze = (width // 2, height // 2)
+        gx, gy = gaze
+        covered = np.zeros((height, width), dtype=bool)
+        for p in self.passes:
+            lw = p.launch_w if p.launch_w is not None else width // p.factor
+            lh = p.launch_h if p.launch_h is not None else height // p.factor
+            ox = gx - p.center_offset if p.centered else 0
+            oy = gy - p.center_offset if p.centered else 0
+            lx, ly = np.meshgrid(np.arange(lw), np.arange(lh))
+            idx_x = lx * p.factor + ox
+            idx_y = ly * p.factor + oy
+            rng = np.sqrt((idx_x - gx) ** 2.0 + (idx_y - gy) ** 2.0)
+            ring = (rng >= p.r_inner) & (rng <= p.r_outer)
+            for dy in range(p.fill_size):
+                for dx in range(p.fill_size):
+                    px = idx_x + dx
+                    py = idx_y + dy
+                    ok = ring & (px >= 0) & (px < width) & (py >= 0) & (py < height)
+                    covered[py[ok], px[ok]] = True
+        return ~covered
 
     @staticmethod
     def uniform(spp: int = 4) -> "FoveationSchedule":

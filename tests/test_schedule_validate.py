@@ -1,0 +1,67 @@
+"""FoveationSchedule.validate_coverage + benchmark sweep smoke tests."""
+
+import numpy as np
+
+from fovpathtracing_optixcodelatest_tpu.config import (
+    FoveationPass,
+    FoveationSchedule,
+)
+
+
+def test_reference_schedule_has_known_boundary_holes():
+    """PARITY: the verbatim reference schedule leaves a small number of
+    ring-boundary pixels unwritten per frame (stride-block rejection at the
+    ring edges — stale-pixel artifact in the original too). Assert the twin
+    reproduces it exactly: few holes, all confined to the ring boundaries."""
+    s = FoveationSchedule.reference_32_16_8()
+    holes = s.validate_coverage(960, 540)
+    n = int(holes.sum())
+    assert 0 < n < 400, n
+    ys, xs = np.nonzero(holes)
+    d = np.sqrt((xs - 480.0) ** 2 + (ys - 270.0) ** 2)
+    # holes only near the fovea/annulus (≈75) and annulus/periphery (≈243) rings
+    assert (((d > 74) & (d < 78)) | ((d > 240) & (d < 247))).all()
+
+
+def test_sealed_schedule_is_hole_free():
+    s = FoveationSchedule.reference_32_16_8_sealed()
+    for gaze in [None, (0, 0), (959, 539), (0, 539), (959, 0), (13, 400)]:
+        holes = s.validate_coverage(960, 540, gaze=gaze)
+        assert holes.sum() == 0, f"gaze {gaze}: {holes.sum()} holes"
+
+
+def test_sweep_schedules_nearly_cover():
+    for trip in ("32_2_1", "32_4_2", "32_8_4", "32_16_8"):
+        f, a, p = (int(x) for x in trip.split("_"))
+        s = FoveationSchedule.sweep(f, a, p)
+        # sweeps inherit the reference ring geometry incl. its boundary holes
+        assert s.validate_coverage(960, 540).sum() < 400
+
+
+def test_validator_detects_gap():
+    r = 10
+    bad = FoveationSchedule(
+        passes=(
+            FoveationPass(factor=4, spp=1, r_inner=float(r), r_outer=1e9,
+                          redraw=False),
+            FoveationPass(factor=1, spp=1, r_inner=0.0, r_outer=float(r + 1),
+                          redraw=True, launch_w=2 * (r + 1), launch_h=2 * (r + 1),
+                          centered=True, center_offset=r + 1),
+        )
+    )
+    holes = bad.validate_coverage(48, 36)
+    assert holes.sum() > 0  # the ring gap the sentinel test renders
+
+
+def test_benchmark_sweep_cli(tmp_path):
+    from fovpathtracing_optixcodelatest_tpu.apps.benchmark_sweep import main
+
+    rc = main([
+        "--scene", "cornell", "--width", "48", "--height", "36",
+        "--frames", "1", "--skip-uniform", "--out-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    assert (tmp_path / "frame_rate.dat").exists()
+    assert (tmp_path / "cornell_fov_32_16_8.tsv").exists()
+    first = (tmp_path / "cornell_fov_32_16_8.tsv").read_text().splitlines()[0]
+    assert "e+" in first  # tri-count tag like the reference's TSVs
