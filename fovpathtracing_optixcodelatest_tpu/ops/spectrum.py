@@ -45,6 +45,23 @@ def cie_xyz_bar(lam: np.ndarray):
     return x, y, z
 
 
+def cie_xyz_bar_jnp(lam: jnp.ndarray):
+    """Traced (jnp) version of cie_xyz_bar for use inside jit."""
+
+    def g(x, mu, s1, s2):
+        s = jnp.where(x < mu, s1, s2)
+        return jnp.exp(-0.5 * ((x - mu) / s) ** 2)
+
+    x = (
+        1.056 * g(lam, 599.8, 37.9, 31.0)
+        + 0.362 * g(lam, 442.0, 16.0, 26.7)
+        - 0.065 * g(lam, 501.1, 20.4, 26.2)
+    )
+    y = 0.821 * g(lam, 568.8, 46.9, 40.5) + 0.286 * g(lam, 530.9, 16.3, 31.1)
+    z = 1.217 * g(lam, 437.0, 11.8, 36.0) + 0.681 * g(lam, 459.0, 26.0, 13.8)
+    return x, y, z
+
+
 _XBAR, _YBAR, _ZBAR = cie_xyz_bar(_LAMBDAS)
 _DL = (LAMBDA_MAX - LAMBDA_MIN) / (NUM_BINS - 1)
 _Y_NORM = float(np.sum(_YBAR) * _DL)
