@@ -204,6 +204,9 @@ class RenderConfig:
     exposure_correction: bool = True  # EXPOSURE_CORR_ON (deviceProgram.cu:583)
     white: float = 1.0  # Reinhard white point (deviceProgram.cu:597)
     accumulate: bool = True  # progressive accumulation (PT_original semantics)
+    # Sort rays alive-first before each traversal so chunks of dead rays exit
+    # their while_loop immediately (pairs with traverse8's chunked lax.map).
+    compact_bounces: bool = True
     # Ray batch chunking for the wavefront loop; rays are processed in chunks of
     # this many lanes so arbitrarily large frames fit in HBM. Must be a multiple
     # of 1024 for clean (8,128) tiling.

@@ -79,14 +79,34 @@ def trace_paths(
     f3 = lambda v: jnp.full((n, 3), v, dtype=jnp.float32)  # noqa: E731
 
     def _closest(o, d, act):
-        return traverse8.closest_hit(
-            scene.bvh, o, d, config.tmin, config.tmax, active=act
+        if not config.compact_bounces:
+            return traverse8.closest_hit(
+                scene.bvh, o, d, config.tmin, config.tmax, active=act
+            )
+        # alive-first sort: dead rays collapse into trailing chunks whose
+        # while_loops exit in zero iterations (chunked lax.map synergy)
+        order = jnp.argsort(~act)
+        inv = jnp.argsort(order)
+        out = traverse8.closest_hit(
+            scene.bvh, o[order], d[order], config.tmin, config.tmax,
+            active=act[order],
         )
+        return {
+            k: (v if k == "steps" else v[inv]) for k, v in out.items()
+        }
 
     def _occluded(o, d, act):
-        return traverse8.occluded(
-            scene.bvh, o, d, config.tmin, config.tmax, active=act
+        if not config.compact_bounces:
+            return traverse8.occluded(
+                scene.bvh, o, d, config.tmin, config.tmax, active=act
+            )
+        order = jnp.argsort(~act)
+        inv = jnp.argsort(order)
+        occ = traverse8.occluded(
+            scene.bvh, o[order], d[order], config.tmin, config.tmax,
+            active=act[order],
         )
+        return occ[inv]
 
     carry = dict(
         origin=origin,
