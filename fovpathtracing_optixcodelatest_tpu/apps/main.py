@@ -175,7 +175,7 @@ def main(argv=None) -> int:
 
         timers.begin("display")
         if args.out and i == args.frames - 1:
-            save_png(args.out, frame)
+            save_png(args.out, frame[::-1])  # V-up convention: flip for display
         timers.end("display")
         timers.frame_done()
         if tsv:
@@ -214,7 +214,7 @@ def main(argv=None) -> int:
                 exposure_on=config.exposure_correction,
                 tonemap_on=config.tone_mapping,
             )
-            save_png(args.out.replace(".png", "_denoised.png"), np.asarray(u8))
+            save_png(args.out.replace(".png", "_denoised.png"), np.asarray(u8)[::-1])
     if tsv:
         tsv.close()
     return 0
