@@ -207,11 +207,6 @@ class RenderConfig:
     # Sort rays alive-first before each traversal so chunks of dead rays exit
     # their while_loop immediately (pairs with traverse8's chunked lax.map).
     compact_bounces: bool = True
-    # Ray batch chunking for the wavefront loop; rays are processed in chunks of
-    # this many lanes so arbitrarily large frames fit in HBM. Must be a multiple
-    # of 1024 for clean (8,128) tiling.
-    ray_chunk: int = 1 << 17
-    dtype: str = "float32"
 
     @property
     def resolution(self) -> Tuple[int, int]:
