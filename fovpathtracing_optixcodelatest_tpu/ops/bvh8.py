@@ -28,27 +28,28 @@ import numpy as np
 from fovpathtracing_optixcodelatest_tpu.ops.bvh import build_bvh2
 
 WIDTH = 8
-LEAF_SIZE8 = 8  # default leaf size for the wide build
+LEAF_SIZE8 = 4  # default leaf size (A/B'd on v5e: 4 beats 8 by ~8%)
 
 
 @dataclasses.dataclass(frozen=True)
 class WideBVH:
     """Packed for ONE-gather-per-step traversal (see ops/traverse8.py).
 
-    table (U, 72) f32 — unified rows; the first M rows are internal nodes,
+    table (U, W) f32 — unified rows (W = max(64, 9·leaf_size));
+      the first M rows are internal nodes,
       the rest leaves, so each traversal step gathers exactly one row
       regardless of entry type:
       - node row: 8 children × [lo3, hi3] (48 floats) then 8 × [a, kind]
         int32 bitcast to f32. kind: 0 = internal (a = child row id),
         1 = leaf (a = leaf row id, already offset by M), -1 = empty.
-      - leaf row: 8 packed triangles [v0, e1, e2]; unused slots are
-        degenerate (all-zero ⇒ det == 0 ⇒ never hit).
-    leaf_perm (U, 8) i32 — original triangle id per leaf-row slot (-1 for
-      node rows/padding); indexed by best = row*8 + k after traversal.
+      - leaf row: leaf_size packed triangles [v0, e1, e2]; unused slots
+        are degenerate (all-zero ⇒ det == 0 ⇒ never hit).
+    leaf_perm (U, leaf_size) i32 — original triangle id per leaf-row slot (-1
+      for node rows/padding); indexed by best = row*leaf_size + k.
     """
 
-    table: jnp.ndarray  # (U, 72) f32
-    leaf_perm: jnp.ndarray  # (U, 8) i32
+    table: jnp.ndarray  # (U, W) f32
+    leaf_perm: jnp.ndarray  # (U, leaf_size) i32
     leaf_size: int = LEAF_SIZE8
     # static: exact worst-case stack entries = (WIDTH-1)·height + 1
     stack_depth: int = 28
@@ -82,17 +83,18 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
     num_leaves = max(len(lw), 1)
     s_len = len(order_slots)
     u = m + num_leaves
+    width = max(64, 9 * leaf_size)
 
     new_a = a_vals.copy()
     new_kind = np.where(counts > 0, 1, np.where(counts == 0, 0, -1)).astype(
         np.int32
     )
-    table = np.zeros((u, 72), dtype=np.float32)
-    leaf_perm = np.full((u, 8), -1, dtype=np.int32)
+    table = np.zeros((u, width), dtype=np.float32)
+    leaf_perm = np.full((u, leaf_size), -1, dtype=np.int32)
     if len(lw):
         offs = a_vals[lw, ls].astype(np.int64)
         cnts = counts[lw, ls].astype(np.int64)
-        k = np.arange(8, dtype=np.int64)
+        k = np.arange(leaf_size, dtype=np.int64)
         slot_idx = np.clip(offs[:, None] + k[None, :], 0, s_len - 1)
         valid = k[None, :] < cnts[:, None]
         tid = np.where(valid, order_slots[slot_idx], -1)
@@ -101,9 +103,9 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
         v0 = p[:, :, 0]
         e1 = p[:, :, 1] - v0
         e2 = p[:, :, 2] - v0
-        packed = np.concatenate([v0, e1, e2], axis=-1)  # (L, 8, 9)
+        packed = np.concatenate([v0, e1, e2], axis=-1)  # (L, leaf_size, 9)
         packed[~valid] = 0.0
-        table[m:] = packed.reshape(len(lw), 72)
+        table[m:, : 9 * leaf_size] = packed.reshape(len(lw), 9 * leaf_size)
         leaf_perm[m:] = tid.astype(np.int32)
         # leaf child pointers address unified rows (offset by M)
         new_a[lw, ls] = m + np.arange(len(lw), dtype=np.int32)

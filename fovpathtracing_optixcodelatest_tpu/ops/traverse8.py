@@ -13,14 +13,14 @@ rules shape this module (all measured on a v5e, see git history):
    XLA constants whose gathers scalarize (measured 300x slower).
 
 3. One gather per step: node rows pack child boxes + bitcast meta into 64
-   floats; leaf rows pack 8 padded triangles into 72 floats. Row gathers of
-   contiguous floats run near HBM bandwidth.
+   floats; leaf rows pack leaf_size padded triangles (9 floats each). Row
+   gathers of contiguous floats run near HBM bandwidth.
 
 One while_loop iteration pops one entry per ray (one-hot sum over the (D, N)
 stack), and either expands an internal node (8 unrolled slab tests + push of
 hit children, near-to-far via a Batcher sorting network on (1, N) rows) or
-intersects its 8-triangle leaf row (unrolled Möller-Trumbore). Iterations ≈
-max per-ray pops.
+intersects its leaf row (unrolled Möller-Trumbore). Iterations ≈ max
+per-ray pops.
 
 ``occluded`` implements the reference's occlusion ray semantics: back-face
 culling + first-hit termination (deviceProgram.cu:224-248).
@@ -73,15 +73,15 @@ def _sort8_desc(keys, vals):
 
 def _gather_row(table, entry, is_leaf):
     """ONE unified row gather per step: node rows and leaf rows live in the
-    same (U, 72) table, so entry type never costs a second gather.
+    same (U, W) table, so entry type never costs a second gather.
 
     The index stays 2-D (1, N): gathering with the (1,N) row directly is
     ~12x faster than reshaping to (N,) first — that reshape is the
     T(8,128)→T(1024) relayout pathology."""
     row = jnp.where(is_leaf, -entry - 1, jnp.maximum(entry, 0))  # (1, N)
-    g = jnp.take(table, row, axis=0)  # (1, N, 72)
+    g = jnp.take(table, row, axis=0)  # (1, N, W)
     n = row.shape[1]
-    return g.reshape(n, table.shape[1]).T  # (72, N)
+    return g.reshape(n, table.shape[1]).T  # (W, N)
 
 
 def _expand(gt, is_node, o_r, inv_r, tmin, tlimit):
@@ -116,11 +116,11 @@ def _expand(gt, is_node, o_r, inv_r, tmin, tlimit):
     return hits, tns, entries
 
 
-def _leaf_hits(gt, is_leaf, o_r, d_r, tmin, tmax, cull_backface):
-    """8 unrolled Möller-Trumbore tests against a gathered leaf row.
-    Returns list of 8 tuples (hit, t, u, v) of (1, N) arrays."""
+def _leaf_hits(gt, is_leaf, o_r, d_r, tmin, tmax, cull_backface, leaf_size):
+    """leaf_size unrolled Möller-Trumbore tests against a gathered leaf row.
+    Returns list of tuples (hit, t, u, v) of (1, N) arrays."""
     out = []
-    for k in range(WIDTH):
+    for k in range(leaf_size):
         b = k * 9
         v0 = (gt[b + 0 : b + 1], gt[b + 1 : b + 2], gt[b + 2 : b + 3])
         e1 = (gt[b + 3 : b + 4], gt[b + 4 : b + 5], gt[b + 5 : b + 6])
@@ -256,13 +256,15 @@ def closest_hit(
         stack, sp = _push(stack, sp, entries_c, cnt)
 
         leaf = jnp.where(is_leaf, -entry - 1, 0)
-        leaf_out = _leaf_hits(gt, is_leaf, o_r, d_r, tmin, tmax, False)
+        leaf_out = _leaf_hits(
+            gt, is_leaf, o_r, d_r, tmin, tmax, False, bvh.leaf_size
+        )
         for k, (hit_k, t_k, u_k, v_k) in enumerate(leaf_out):
             better = hit_k & (t_k < t)
             t = jnp.where(better, t_k, t)
             u = jnp.where(better, u_k, u)
             v = jnp.where(better, v_k, v)
-            best = jnp.where(better, leaf * WIDTH + k, best)
+            best = jnp.where(better, leaf * bvh.leaf_size + k, best)
         return (stack, sp, t, u, v, best, steps + 1)
 
     out = lax.while_loop(cond, body, state)
@@ -339,7 +341,7 @@ def occluded(
         stack, sp = _push(stack, sp, entries_c, cnt)
 
         leaf_out = _leaf_hits(
-            gt, is_leaf, o_r, d_r, tmin, tmax, cull_backface
+            gt, is_leaf, o_r, d_r, tmin, tmax, cull_backface, bvh.leaf_size
         )
         for hit_k, _t, _u, _v in leaf_out:
             occ = occ | hit_k
