@@ -70,6 +70,58 @@ def furnace_sphere(subdiv: int = 3) -> Tuple[List[HostMesh], Camera]:
     return meshes, cam
 
 
+def box_city_fast(
+    n: int = 400, seed: int = 0, spread: float = 40.0, palette: int = 8
+) -> Tuple[List[HostMesh], Camera]:
+    """Vectorized box_city for large triangle counts (n=900 ⇒ ~9.7M tris):
+    all boxes of a palette color are batched into ONE HostMesh with fully
+    broadcast vertex math — python-loop scene assembly took ~90 s at 10M
+    tris, this takes ~1 s."""
+    rng = np.random.default_rng(seed)
+    cell = 2 * spread / n
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    x = (-spread + cell * (ii + 0.5) + rng.uniform(-0.2, 0.2, (n, n)) * cell).ravel()
+    z = (-spread + cell * (jj + 0.5) + rng.uniform(-0.2, 0.2, (n, n)) * cell).ravel()
+    height = rng.uniform(1.0, 8.0, n * n)
+    half = rng.uniform(0.25, 0.45, n * n) * cell
+    color_id = rng.integers(0, palette, n * n)
+    colors = rng.uniform(0.2, 0.9, (palette, 3))
+
+    # unit box template (make_box at origin, extent 1): 36 verts, 12 tris
+    unit = make_box((0, 0, 0), (1, 1, 1), _matte((1, 1, 1)))
+    uv = unit.vertex  # (36, 3)
+    un = unit.normal
+    meshes = [
+        make_box((0, -1.0, 0), (spread, 1.0, spread), _matte((0.6, 0.6, 0.6)))
+    ]
+    for c in range(palette):
+        sel = np.nonzero(color_id == c)[0]
+        if not len(sel):
+            continue
+        k = len(sel)
+        ext = np.stack([half[sel], height[sel], half[sel]], axis=1)  # (k, 3)
+        pos = np.stack([x[sel], height[sel] - 1.0, z[sel]], axis=1)
+        verts = uv[None, :, :] * ext[:, None, :] + pos[:, None, :]  # (k, 36, 3)
+        normals = np.broadcast_to(un[None], (k, 36, 3))
+        index = (
+            unit.index[None, :, :] + (np.arange(k) * 36)[:, None, None]
+        )  # (k, 12, 3)
+        meshes.append(
+            HostMesh(
+                vertex=verts.reshape(-1, 3).astype(np.float32),
+                index=index.reshape(-1, 3).astype(np.int32),
+                normal=normals.reshape(-1, 3).astype(np.float32),
+                texcoord=np.zeros((k * 36, 2), dtype=np.float32),
+                material=_matte(tuple(colors[c])),
+            )
+        )
+    cam = Camera(
+        eye=(-spread * 1.2, spread * 0.45, spread * 1.2),
+        lookat=(0.0, 0.0, 0.0), up=(0, 1, 0), fov_y=45.0, aspect=1.0,
+    )
+    return meshes, cam
+
+
 def box_city(
     n: int = 12, seed: int = 0, spread: float = 40.0
 ) -> Tuple[List[HostMesh], Camera]:

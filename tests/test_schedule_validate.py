@@ -65,3 +65,18 @@ def test_benchmark_sweep_cli(tmp_path):
     assert (tmp_path / "cornell_fov_32_16_8.tsv").exists()
     first = (tmp_path / "cornell_fov_32_16_8.tsv").read_text().splitlines()[0]
     assert "e+" in first  # tri-count tag like the reference's TSVs
+
+
+def test_box_city_fast_generator():
+    """Vectorized large-scene generator: matches box_city's structure at a
+    fraction of the host cost and round-trips the BVH build."""
+    from fovpathtracing_optixcodelatest_tpu.models import scenes
+    from fovpathtracing_optixcodelatest_tpu.models.mesh import host_triangles
+    from fovpathtracing_optixcodelatest_tpu.ops import bvh_native
+
+    meshes, cam = scenes.box_city_fast(n=20, seed=0)
+    tris = host_triangles(meshes)
+    assert tris.shape[0] == 20 * 20 * 12 + 12
+    assert np.isfinite(tris).all()
+    bvh = bvh_native.build(tris)
+    assert bvh.num_rows > 100
