@@ -101,8 +101,8 @@ def main(argv=None) -> int:
     textures = []
     if args.obj:
         meshes, textures = load_obj(args.obj)
-        lo = min(m.vertex.min(axis=0) for m in meshes if len(m.vertex)).min()
-        hi = max(m.vertex.max(axis=0) for m in meshes if len(m.vertex)).max()
+        lo = min(float(m.vertex.min()) for m in meshes if len(m.vertex))
+        hi = max(float(m.vertex.max()) for m in meshes if len(m.vertex))
         span = float(hi - lo) or 1.0
         cam = Camera(eye=(span, span * 0.4, span),
                      lookat=(0.0, 0.0, 0.0), fov_y=45.0,

@@ -172,3 +172,35 @@ def test_bsdf_viz_harness():
     assert ((uv >= 0) & (uv <= 1)).all()
     # some sample markers present
     assert (image == [1.0, 0.0, 0.0]).all(axis=-1).sum() > 10
+
+
+def test_obj_end_to_end_through_cli(tmp_path):
+    """OBJ + MTL + texture file → CLI render → PNG (the full Model.cpp-twin
+    pipeline including texture loading)."""
+    from fovpathtracing_optixcodelatest_tpu.apps.main import main
+    from fovpathtracing_optixcodelatest_tpu.utils.image import load_png, save_png
+
+    # a textured ground quad + a box, with a real texture file on disk
+    tex = np.zeros((8, 8, 3), dtype=np.float32)
+    tex[::2, ::2] = 1.0
+    save_png(str(tmp_path / "checker.png"), tex)
+    (tmp_path / "scene.mtl").write_text(
+        "newmtl ground\nKd 1 1 1\nmap_Kd checker.png\n"
+        "newmtl cube\nKd 0.9 0.2 0.2\n"
+    )
+    obj = ["mtllib scene.mtl"]
+    for v in [(-5, 0, 5), (5, 0, 5), (5, 0, -5), (-5, 0, -5),
+              (-1, 0, 1), (1, 0, 1), (1, 2, 1), (-1, 2, 1)]:
+        obj.append(f"v {v[0]} {v[1]} {v[2]}")
+    obj += ["vt 0 0", "vt 1 0", "vt 1 1", "vt 0 1",
+            "usemtl ground", "f 1/1 2/2 3/3 4/4",
+            "usemtl cube", "f 5/1 6/2 7/3 8/4"]
+    (tmp_path / "scene.obj").write_text("\n".join(obj))
+    out = tmp_path / "render.png"
+    rc = main([
+        "--obj", str(tmp_path / "scene.obj"), "--width", "32", "--height",
+        "24", "--frames", "1", "--schedule", "uniform:1", "--out", str(out),
+    ])
+    assert rc == 0 and out.exists()
+    img = load_png(str(out))
+    assert img.shape == (24, 32, 3) and img.max() > 0.05
