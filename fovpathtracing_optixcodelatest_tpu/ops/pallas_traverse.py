@@ -10,11 +10,12 @@ Design (see PLAN.md for the measurements that shaped it):
 - A packet descends into any child that ANY of its rays hits (union
   traversal): per-ray results stay exact; coherence only affects speed.
 
-Status: CORRECT (validated against ops/traverse.py in interpret mode, which
-runs on any backend). Not yet faster than the XLA path on the v5e tunnel —
-scalar-loop iteration overhead (~1-3 µs) × union-visit counts needs the
-round-2 work: larger fused blocks, double-buffered ray I/O, leaf-test
-batching, and fusing shading into the kernel. Kept as the scaffold.
+Status: CORRECT (validated against ops/traverse8.py in interpret mode, which
+runs on any backend). The compiled-TPU path currently crashes the axon
+remote Mosaic compile helper (HTTP 500, no diagnostics surfaced); suspects
+for round 2: the bool (8,128) VMEM output, the mixed scalar/vector
+while_loop carry, and scalar jnp.any reductions in the loop condition.
+Perf expectations and the tuning plan live in PLAN.md.
 """
 
 from __future__ import annotations
@@ -35,87 +36,86 @@ PACKET = SUBLANES * LANES  # 1024 rays per packet
 
 
 def _occlusion_kernel(table_ref, o_ref, d_ref, inv_ref, act_ref, occ_ref,
+                      stack_ref,
                       *, num_rows, stack_depth, leaf_size, tmin, tmax):
     """One packet: shared scalar DFS over the unified table; dense per-ray
-    slab + triangle tests on (8, LANES) tiles."""
+    slab + triangle tests on (8, LANES) tiles. The DFS stack lives in SMEM
+    scratch (Mosaic cannot dynamic-slice loop-carried values). Leaf and node
+    work both run every iteration, masked — one packet is lockstep anyway."""
+
+    stack_ref[0] = 0  # root entry
 
     def body(state):
-        sp, stack, occ = state
+        sp, occ = state
         sp = sp - 1
-        entry = stack[sp]
+        entry = stack_ref[sp]
         is_leaf = entry < 0
         row_idx = jnp.where(is_leaf, -entry - 1, entry)
         row = table_ref[row_idx, :]  # scalar-indexed row load
 
         pending = act_ref[0] & ~occ
 
-        def leaf_case(_):
-            occ2 = occ
-            for k in range(leaf_size):
-                b = k * 9
-                v0 = (row[b], row[b + 1], row[b + 2])
-                e1 = (row[b + 3], row[b + 4], row[b + 5])
-                e2 = (row[b + 6], row[b + 7], row[b + 8])
-                dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
-                px = dy * e2[2] - dz * e2[1]
-                py = dz * e2[0] - dx * e2[2]
-                pz = dx * e2[1] - dy * e2[0]
-                det = e1[0] * px + e1[1] * py + e1[2] * pz
-                det_ok = det > 1e-9  # occlusion rays cull back faces
-                inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-                tx = o_ref[0, 0] - v0[0]
-                ty = o_ref[0, 1] - v0[1]
-                tz = o_ref[0, 2] - v0[2]
-                u = (tx * px + ty * py + tz * pz) * inv_det
-                qx = ty * e1[2] - tz * e1[1]
-                qy = tz * e1[0] - tx * e1[2]
-                qz = tx * e1[1] - ty * e1[0]
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
-                hit = (det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                       & (t >= tmin) & (t <= tmax) & pending)
-                occ2 = occ2 | hit
-            return sp, stack, occ2
+        # ---- leaf tests (masked by is_leaf) ----
+        for k in range(leaf_size):
+            b = k * 9
+            v0 = (row[b], row[b + 1], row[b + 2])
+            e1 = (row[b + 3], row[b + 4], row[b + 5])
+            e2 = (row[b + 6], row[b + 7], row[b + 8])
+            dx, dy, dz = d_ref[0, 0], d_ref[0, 1], d_ref[0, 2]
+            px = dy * e2[2] - dz * e2[1]
+            py = dz * e2[0] - dx * e2[2]
+            pz = dx * e2[1] - dy * e2[0]
+            det = e1[0] * px + e1[1] * py + e1[2] * pz
+            det_ok = det > 1e-9  # occlusion rays cull back faces
+            inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+            tx = o_ref[0, 0] - v0[0]
+            ty = o_ref[0, 1] - v0[1]
+            tz = o_ref[0, 2] - v0[2]
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1[2] - tz * e1[1]
+            qy = tz * e1[0] - tx * e1[2]
+            qz = tx * e1[1] - ty * e1[0]
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+            hit = (det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (t >= tmin) & (t <= tmax) & pending & is_leaf)
+            occ = occ | hit
 
-        def node_case(_):
-            sp2, stack2 = sp, stack
-            for c in range(WIDTH):
-                lo = (row[c * 6], row[c * 6 + 1], row[c * 6 + 2])
-                hi = (row[c * 6 + 3], row[c * 6 + 4], row[c * 6 + 5])
-                tn = jnp.full((SUBLANES, LANES), -jnp.inf)
-                tf = jnp.full((SUBLANES, LANES), jnp.inf)
-                for a in range(3):
-                    t0 = (lo[a] - o_ref[0, a]) * inv_ref[0, a]
-                    t1 = (hi[a] - o_ref[0, a]) * inv_ref[0, a]
-                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                meta = jax.lax.bitcast_convert_type(
-                    row[48 + c * 2 : 48 + c * 2 + 2], jnp.int32
-                )
-                a_val, kind = meta[0], meta[1]
-                any_hit = jnp.any(
-                    (tn <= tf) & (tf >= tmin) & (tn <= tmax) & pending
-                ) & (kind >= 0)
-                child_entry = jnp.where(kind > 0, -(a_val + 1), a_val)
-                push = any_hit & (sp2 < stack_depth)
-                stack2 = jnp.where(
-                    jnp.arange(stack_depth) == sp2,
-                    jnp.where(push, child_entry, stack2),
-                    stack2,
-                )
-                sp2 = sp2 + push.astype(jnp.int32)
-            return sp2, stack2, occ
-
-        return jax.lax.cond(is_leaf, leaf_case, node_case, None)
+        # ---- node expansion (masked by is_node) ----
+        is_node = ~is_leaf
+        sp2 = sp
+        for c in range(WIDTH):
+            lo = (row[c * 6], row[c * 6 + 1], row[c * 6 + 2])
+            hi = (row[c * 6 + 3], row[c * 6 + 4], row[c * 6 + 5])
+            tn = jnp.full((SUBLANES, LANES), -jnp.inf)
+            tf = jnp.full((SUBLANES, LANES), jnp.inf)
+            for a in range(3):
+                t0 = (lo[a] - o_ref[0, a]) * inv_ref[0, a]
+                t1 = (hi[a] - o_ref[0, a]) * inv_ref[0, a]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            meta = jax.lax.bitcast_convert_type(
+                row[48 + c * 2 : 48 + c * 2 + 2], jnp.int32
+            )
+            a_val, kind = meta[0], meta[1]
+            any_hit = (
+                jnp.any((tn <= tf) & (tf >= tmin) & (tn <= tmax) & pending)
+                & (kind >= 0) & is_node
+            )
+            child_entry = jnp.where(kind > 0, -(a_val + 1), a_val)
+            push = any_hit & (sp2 < stack_depth)
+            slot = jnp.minimum(sp2, stack_depth - 1)
+            stack_ref[slot] = jnp.where(push, child_entry, stack_ref[slot])
+            sp2 = sp2 + push.astype(jnp.int32)
+        return sp2, occ
 
     def cond(state):
-        sp, _stack, occ = state
+        sp, occ = state
         return (sp > 0) & jnp.any(act_ref[0] & ~occ)
 
     sp0 = jnp.where(jnp.any(act_ref[0]), 1, 0)
-    stack0 = jnp.zeros((stack_depth,), jnp.int32)  # root entry = row 0
     occ0 = jnp.zeros((SUBLANES, LANES), dtype=bool)
-    _sp, _stack, occ = jax.lax.while_loop(cond, body, (sp0, stack0, occ0))
+    _sp, occ = jax.lax.while_loop(cond, body, (sp0, occ0))
     occ_ref[0] = occ
 
 
@@ -174,6 +174,7 @@ def occluded_packets(
         ],
         out_specs=pl.BlockSpec((1, SUBLANES, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((int(bvh.stack_depth),), jnp.int32)],
         interpret=interpret,
     )
 
