@@ -10,12 +10,21 @@ Design (see PLAN.md for the measurements that shaped it):
 - A packet descends into any child that ANY of its rays hits (union
   traversal): per-ray results stay exact; coherence only affects speed.
 
-Status: CORRECT (validated against ops/traverse8.py in interpret mode, which
-runs on any backend). The compiled-TPU path currently crashes the axon
-remote Mosaic compile helper (HTTP 500, no diagnostics surfaced); suspects
-for round 2: the bool (8,128) VMEM output, the mixed scalar/vector
-while_loop carry, and scalar jnp.any reductions in the loop condition.
-Perf expectations and the tuning plan live in PLAN.md.
+Status: CORRECT and COMPILED on real TPU (exact parity with
+ops/traverse8.occluded). Mosaic landmines found and worked around:
+- dynamic_slice of loop-CARRIED values is unlowered → stack lives in SMEM
+  scratch with ref indexing;
+- vector reductions / ref reads in the while COND crash the compiler →
+  scalar pending-count carried through the body;
+- a bool (8,128) array in the while CARRY crashes the compiler → carry
+  occupancy as int32, cast on the final store.
+MEASURED (v5e, box_city 7k tris, 256k coherent shadow rays): 0.34 Mrays/s vs
+7.2 Mrays/s for the XLA per-ray path — packet union-traversal pays ~1-3 us
+scalar-loop overhead per node visit and packets serialize on the single
+TensorCore. Conclusion for round 2: packet-per-kernel is NOT the win on this
+hardware; the promising Pallas directions are per-ray traversal via MXU
+one-hot row gathers from VMEM, or keeping XLA traversal and fusing
+shading/film instead.
 """
 
 from __future__ import annotations
@@ -46,14 +55,14 @@ def _occlusion_kernel(table_ref, o_ref, d_ref, inv_ref, act_ref, occ_ref,
     stack_ref[0] = 0  # root entry
 
     def body(state):
-        sp, occ = state
+        sp, occ, _npend = state
         sp = sp - 1
         entry = stack_ref[sp]
         is_leaf = entry < 0
         row_idx = jnp.where(is_leaf, -entry - 1, entry)
         row = table_ref[row_idx, :]  # scalar-indexed row load
 
-        pending = act_ref[0] & ~occ
+        pending = act_ref[0] & (occ == 0)
 
         # ---- leaf tests (masked by is_leaf) ----
         for k in range(leaf_size):
@@ -79,7 +88,7 @@ def _occlusion_kernel(table_ref, o_ref, d_ref, inv_ref, act_ref, occ_ref,
             t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
             hit = (det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                    & (t >= tmin) & (t <= tmax) & pending & is_leaf)
-            occ = occ | hit
+            occ = jnp.maximum(occ, hit.astype(jnp.int32))
 
         # ---- node expansion (masked by is_node) ----
         is_node = ~is_leaf
@@ -107,16 +116,22 @@ def _occlusion_kernel(table_ref, o_ref, d_ref, inv_ref, act_ref, occ_ref,
             slot = jnp.minimum(sp2, stack_depth - 1)
             stack_ref[slot] = jnp.where(push, child_entry, stack_ref[slot])
             sp2 = sp2 + push.astype(jnp.int32)
-        return sp2, occ
+        # vector reductions are legal in the BODY but crash Mosaic in the
+        # COND — carry the pending count as a scalar instead
+        npend = jnp.sum((act_ref[0] & (occ == 0)).astype(jnp.int32))
+        return sp2, occ, npend
 
     def cond(state):
-        sp, occ = state
-        return (sp > 0) & jnp.any(act_ref[0] & ~occ)
+        sp, _occ, npend = state
+        return (sp > 0) & (npend > 0)
 
-    sp0 = jnp.where(jnp.any(act_ref[0]), 1, 0)
-    occ0 = jnp.zeros((SUBLANES, LANES), dtype=bool)
-    _sp, occ = jax.lax.while_loop(cond, body, (sp0, occ0))
-    occ_ref[0] = occ
+    npend0 = jnp.sum(act_ref[0].astype(jnp.int32))
+    sp0 = jnp.where(npend0 > 0, 1, 0)
+    # NOTE: a bool (8,128) in the while carry crashes the Mosaic compiler on
+    # this toolchain — carry occupancy as int32 and cast at the end
+    occ0 = jnp.zeros((SUBLANES, LANES), dtype=jnp.int32)
+    _sp, occ, _n = jax.lax.while_loop(cond, body, (sp0, occ0, npend0))
+    occ_ref[0] = occ > 0
 
 
 def occluded_packets(
