@@ -68,6 +68,9 @@ def main(argv=None) -> int:
                     help="full-resolution baseline spp (reference: 32)")
     ap.add_argument("--skip-uniform", action="store_true",
                     help="skip the (slow) uniform full-spp baseline")
+    ap.add_argument("--scale-rings", action="store_true",
+                    help="scale the 74/241 ring radii from their 960x540 "
+                         "design resolution to --height")
     ap.add_argument("--out-dir", default="bench_out")
     args = ap.parse_args(argv)
 
@@ -87,10 +90,15 @@ def main(argv=None) -> int:
     config = RenderConfig(width=args.width, height=args.height)
     print(f"{args.scene}: {scene.num_triangles} tris", file=sys.stderr)
 
+    if args.scale_rings:
+        scale = args.height / 540.0
+        inner, outer = max(int(74 * scale), 4), max(int(241 * scale), 12)
+    else:
+        inner, outer = 74, 241
     results = {}
     for name in SWEEPS:
         f, a, p = (int(x) for x in name.split("_"))
-        sched = FoveationSchedule.sweep(f, a, p)
+        sched = FoveationSchedule.sweep(f, a, p, inner=inner, outer=outer)
         fps, ms, traces = run_config(scene, cam, config, sched, args.frames)
         results[f"fov_{name}"] = (fps, ms, traces)
         print(f"fov {name}: {fps:.2f} fps, {ms:.0f} ms/frame", file=sys.stderr)

@@ -128,10 +128,14 @@ class FoveationSchedule:
         )
 
     @staticmethod
-    def sweep(fovea_spp: int, annulus_spp: int, periphery_spp: int) -> "FoveationSchedule":
+    def sweep(fovea_spp: int, annulus_spp: int, periphery_spp: int,
+              inner: int = INNER_RADIUS,
+              outer: int = OUTER_RADIUS) -> "FoveationSchedule":
         """Build an spp-sweep schedule like the PT_sv4_vmv2 benchmark suite
-        (e.g. 32_2_1 ... 32_16_8, see BASELINE.md)."""
-        base = FoveationSchedule.reference_32_16_8().passes
+        (e.g. 32_2_1 ... 32_16_8, see BASELINE.md). The reference radii are
+        tuned for 960x540 (BASELINE.md); pass scaled ``inner``/``outer`` for
+        other resolutions or the fovea swallows the frame."""
+        base = FoveationSchedule.reference_32_16_8(inner, outer).passes
         return FoveationSchedule(
             passes=(
                 dataclasses.replace(base[0], spp=periphery_spp),
