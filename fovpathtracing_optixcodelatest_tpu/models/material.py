@@ -103,32 +103,32 @@ class MaterialTable:
 
     @staticmethod
     def from_materials(materials: Sequence[Material]) -> "MaterialTable":
+        # Build EVERYTHING in numpy first, then upload the whole table with
+        # one device_put: any np.asarray of a device array here is a host
+        # round trip (~0.5 s each over the axon tunnel — 17 of them made
+        # "scene build" cost 30 s in round 1).
         if not materials:
             materials = [Material()]
         kw = {}
         for f in _VEC_FIELDS:
-            kw[f] = jnp.asarray(
-                np.array([getattr(m, f) for m in materials], dtype=np.float32)
-            )
+            kw[f] = np.array([getattr(m, f) for m in materials], dtype=np.float32)
         for f in _SCALAR_FIELDS:
             vals = []
             for m in materials:
                 v = m.index_of_refraction() if f == "eta" else getattr(m, f)
                 vals.append(v)
-            kw[f] = jnp.asarray(np.array(vals, dtype=np.float32))
-        kw["flags"] = jnp.asarray(
-            np.array([m.flags for m in materials], dtype=np.int32)
-        )
+            kw[f] = np.array(vals, dtype=np.float32)
+        kw["flags"] = np.array([m.flags for m in materials], dtype=np.int32)
         m_count = len(materials)
         packed = np.zeros((m_count, 24), dtype=np.float32)
-        packed[:, 0:3] = np.asarray(kw["color"])
-        packed[:, 3:6] = np.asarray(kw["emission"])
-        packed[:, 6:9] = np.asarray(kw["absorption"])
+        packed[:, 0:3] = kw["color"]
+        packed[:, 3:6] = kw["emission"]
+        packed[:, 6:9] = kw["absorption"]
         for j, f in enumerate(_SCALAR_FIELDS):
-            packed[:, 9 + j] = np.asarray(kw[f])
-        packed[:, 22] = np.asarray(kw["flags"]).view(np.float32)
-        kw["packed"] = jnp.asarray(packed)
-        return MaterialTable(**kw)
+            packed[:, 9 + j] = kw[f]
+        packed[:, 22] = kw["flags"].view(np.float32)
+        kw["packed"] = packed
+        return MaterialTable(**jax.device_put(kw))
 
     def gather(self, ids: jnp.ndarray) -> "MaterialTable":
         """Per-ray material parameters via ONE packed-row gather."""

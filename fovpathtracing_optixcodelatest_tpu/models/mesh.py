@@ -257,21 +257,23 @@ def flatten_meshes(meshes: Sequence[HostMesh]) -> tuple[SceneGeometry, MaterialT
     tri_pack[:, 9] = mat_all.astype(np.int32).view(np.float32)
     tri_pack[:, 10] = tex_all.astype(np.int32).view(np.float32)
 
-    geom = SceneGeometry(
-        tri_v0=jnp.asarray(v0_all),
-        tri_e1=jnp.asarray(e1_all),
-        tri_e2=jnp.asarray(e2_all),
-        tri_n0=jnp.asarray(np.concatenate(n0s)),
-        tri_n1=jnp.asarray(np.concatenate(n1s)),
-        tri_n2=jnp.asarray(np.concatenate(n2s)),
-        tri_uv0=jnp.asarray(uv0_all),
-        tri_uv1=jnp.asarray(uv1_all),
-        tri_uv2=jnp.asarray(uv2_all),
-        tri_material=jnp.asarray(mat_all),
-        tri_texture=jnp.asarray(tex_all),
-        has_shading_normals=jnp.asarray(np.concatenate(has_ns)),
-        tri_pack=jnp.asarray(tri_pack),
-    )
+    # One device_put for the whole geometry (separate per-array uploads cost
+    # a tunnel round trip each; the batched pytree put is ~10x cheaper).
+    geom = SceneGeometry(**jax.device_put(dict(
+        tri_v0=v0_all,
+        tri_e1=e1_all,
+        tri_e2=e2_all,
+        tri_n0=np.concatenate(n0s),
+        tri_n1=np.concatenate(n1s),
+        tri_n2=np.concatenate(n2s),
+        tri_uv0=uv0_all,
+        tri_uv1=uv1_all,
+        tri_uv2=uv2_all,
+        tri_material=mat_all,
+        tri_texture=tex_all,
+        has_shading_normals=np.concatenate(has_ns),
+        tri_pack=tri_pack,
+    )))
     table = MaterialTable.from_materials(materials)
     return geom, table
 

@@ -108,16 +108,16 @@ def build_cdf(data: np.ndarray) -> ProbeParams:
     cdf_y = np.cumsum(row_sum) / safe_total
     alias_prob, alias_idx = _build_alias(weight.reshape(-1))
     pdf_flat = (pdf_x * pdf_y[:, None]).reshape(-1)
-    return ProbeParams(
-        data=jnp.asarray(rgb.astype(np.float32)),
-        pdf_x=jnp.asarray(pdf_x.astype(np.float32)),
-        cdf_x=jnp.asarray(cdf_x.astype(np.float32)),
-        pdf_y=jnp.asarray(pdf_y.astype(np.float32)),
-        cdf_y=jnp.asarray(cdf_y.astype(np.float32)),
-        alias_prob=jnp.asarray(alias_prob),
-        alias_idx=jnp.asarray(alias_idx),
-        pdf_flat=jnp.asarray(pdf_flat.astype(np.float32)),
-    )
+    return ProbeParams(**jax.device_put(dict(  # one batched upload
+        data=rgb.astype(np.float32),
+        pdf_x=pdf_x.astype(np.float32),
+        cdf_x=cdf_x.astype(np.float32),
+        pdf_y=pdf_y.astype(np.float32),
+        cdf_y=cdf_y.astype(np.float32),
+        alias_prob=alias_prob,
+        alias_idx=alias_idx,
+        pdf_flat=pdf_flat.astype(np.float32),
+    )))
 
 
 def constant_probe(color, width: int = 64, height: int = 32) -> ProbeParams:

@@ -1,20 +1,36 @@
-"""8-wide BVH: SAH BVH2 collapsed to branching factor 8, laid out for wide
-contiguous gathers.
+"""Wide BVH (arity A, default 16) packed for one-row-gather traversal.
 
-Why 8-wide on TPU: traversal cost = while_loop iterations × per-iteration
-memory traffic. TPU gathers run near HBM bandwidth for large ray batches
-(measured ~300-460 GB/s) but iterations serialize, so the win is *fewer,
-fatter* iterations: one pop tests 8 child AABBs from a single contiguous
-(8,6)-float row. Compared with the threaded BVH2 walk (ops/traverse.py) this
-cuts iteration count ~10-20× for the same total bytes touched.
+Why wide-and-packed on TPU: traversal cost = while_loop iterations x
+per-iteration cost, and the per-iteration cost is dominated by the row
+gather, which is ROW-RATE-bound (~1.5 ns/row on v5e regardless of row width
+up to >=512 B — measured, see PLAN.md). So the win is *fewer, fatter* rows:
 
-Node layout (SoA, node-major):
-  boxes (M, 8, 6) f32 — child AABBs, empty slots = inverted boxes
-  meta  (M, 8, 2) i32 — [a, count]: count>0 ⇒ leaf (a = tri_offset),
-                         count==0 ⇒ internal (a = child node id),
-                         count==-1 ⇒ empty slot
-Leaf triangles are contiguous slots in tri_v0/e1/e2 with tri_perm mapping back
-to original ids (same scheme as ops/bvh.py).
+- arity 16 nodes halve tree depth vs 8-wide at the same gather cost;
+- child AABBs are stored as CONSERVATIVE bfloat16 pairs packed two-per-f32
+  (lo rounded toward -inf, hi toward +inf), so 16 children x 6 bounds fit in
+  48 f32 columns — the transpose that follows the gather is byte-bound, and
+  bf16 boxes halve it;
+- child metadata is pre-encoded as the traversal's own entry code (one i32
+  per child), so expansion needs no [a, kind] decode.
+
+Node row layout (W = max(4A, 9*leaf_size) f32 columns; first M rows):
+  cols [3c + a], c < A, a < 3: uint32 = (bf16_bits(lo_a) << 16)
+                                      | bf16_bits(hi_a), bitcast to f32.
+    decode: u = bitcast_u32(col); lo = bitcast_f32(u & 0xFFFF0000);
+            hi = bitcast_f32(u << 16).
+  cols [3A + c]: entry code i32 bitcast to f32:
+    >= 0  internal child (wide row id)
+    <  0  leaf child: -(unified leaf row + 1)
+    EMPTY (INT32_MIN) empty slot.
+Leaf rows (rows M..U): leaf_size packed triangles [v0, e1, e2] f32; unused
+slots degenerate (all-zero => det == 0 => never hit). leaf_perm maps
+(row, slot) -> original triangle id.
+
+Conservative bf16 boxes only ADD false-positive box hits; hit results stay
+exactly equal to full-precision traversal (leaf tests are f32).
+
+``build_legacy8`` keeps the round-1 8-wide full-f32 [a, kind] format for the
+experimental Pallas/packet kernels.
 """
 
 from __future__ import annotations
@@ -27,31 +43,29 @@ import numpy as np
 
 from fovpathtracing_optixcodelatest_tpu.ops.bvh import build_bvh2
 
+ARITY = 16
+LEAF_SIZE = 14  # best measured default (A16/L14: fewest pops/ray, PLAN.md)
+EMPTY = np.int32(-(2**31))
+
+# legacy (round-1) constants, used by the experimental Pallas kernels
 WIDTH = 8
-LEAF_SIZE8 = 4  # default leaf size (A/B'd on v5e: 4 beats 8 by ~8%)
+LEAF_SIZE8 = 4
 
 
 @dataclasses.dataclass(frozen=True)
 class WideBVH:
     """Packed for ONE-gather-per-step traversal (see ops/traverse8.py).
 
-    table (U, W) f32 — unified rows (W = max(64, 9·leaf_size));
-      the first M rows are internal nodes,
-      the rest leaves, so each traversal step gathers exactly one row
-      regardless of entry type:
-      - node row: 8 children × [lo3, hi3] (48 floats) then 8 × [a, kind]
-        int32 bitcast to f32. kind: 0 = internal (a = child row id),
-        1 = leaf (a = leaf row id, already offset by M), -1 = empty.
-      - leaf row: leaf_size packed triangles [v0, e1, e2]; unused slots
-        are degenerate (all-zero ⇒ det == 0 ⇒ never hit).
-    leaf_perm (U, leaf_size) i32 — original triangle id per leaf-row slot (-1
-      for node rows/padding); indexed by best = row*leaf_size + k.
+    ``packed=True`` -> the bf16-pair/entry-code layout in the module
+    docstring; ``packed=False`` -> the legacy 8-wide f32 [a, kind] layout.
     """
 
     table: jnp.ndarray  # (U, W) f32
     leaf_perm: jnp.ndarray  # (U, leaf_size) i32
-    leaf_size: int = LEAF_SIZE8
-    # static: exact worst-case stack entries = (WIDTH-1)·height + 1
+    leaf_size: int = LEAF_SIZE
+    arity: int = ARITY
+    packed: bool = True
+    # static: worst-case stack entries = (arity-1) * height + 2
     stack_depth: int = 28
 
     @property
@@ -62,19 +76,266 @@ class WideBVH:
 jax.tree_util.register_dataclass(
     WideBVH,
     data_fields=["table", "leaf_perm"],
-    meta_fields=["leaf_size", "stack_depth"],
+    meta_fields=["leaf_size", "arity", "packed", "stack_depth"],
 )
 
 
+def _bf16_down_bits(x: np.ndarray) -> np.ndarray:
+    """uint32 bf16-aligned bits of the largest bf16 <= x (finite x)."""
+    x = np.asarray(x, dtype=np.float32)
+    t = (x.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+    # truncation moves toward zero: correct for x >= 0, one ulp high for x < 0
+    need = t > x
+    b = t.view(np.uint32)
+    sign = (b & np.uint32(0x80000000)) != 0
+    stepped = np.where(
+        sign,
+        b + np.uint32(0x10000),  # negative: larger magnitude = toward -inf
+        np.where(b == 0, np.uint32(0x80010000), b - np.uint32(0x10000)),
+    )
+    out = np.where(need, stepped, b)
+    return out & np.uint32(0xFFFF0000)
+
+
+def _bf16_up_bits(x: np.ndarray) -> np.ndarray:
+    """uint32 bf16-aligned bits of the smallest bf16 >= x (finite x)."""
+    neg = _bf16_down_bits(-np.asarray(x, dtype=np.float32))
+    return neg ^ np.uint32(0x80000000)
+
+
 def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
-              order_slots: np.ndarray, leaf_size: int) -> WideBVH:
-    """Pack (M,8,6) boxes + (M,8,2) meta + leaf slot permutation into the
-    gather-friendly WideBVH layout.
+              order_slots: np.ndarray, leaf_size: int,
+              arity: int | None = None) -> WideBVH:
+    """Pack (M,A,6) boxes + (M,A,2) meta + leaf slot permutation into the
+    packed gather-friendly WideBVH layout.
 
     ``meta`` convention on input: [a, count] with count>0 leaf (a=slot
-    offset), 0 internal (a=node id), -1 empty. ``order_slots`` maps slot
+    offset), 0 internal (a=wide node id), -1 empty. ``order_slots`` maps slot
     index -> original tri id (-1 pad).
     """
+    m, a_width = boxes.shape[0], boxes.shape[1]
+    arity = a_width if arity is None else arity
+    assert a_width == arity
+    counts = meta[..., 1]
+    a_vals = meta[..., 0]
+    leaf_mask = counts > 0
+    lw, ls = np.nonzero(leaf_mask)
+    num_leaves = max(len(lw), 1)
+    s_len = len(order_slots)
+    u = m + num_leaves
+    width = max(4 * arity, 9 * leaf_size)
+
+    table = np.zeros((u, width), dtype=np.float32)
+    leaf_perm = np.full((u, leaf_size), -1, dtype=np.int32)
+
+    # --- leaf rows -------------------------------------------------------
+    entry = np.full((m, arity), EMPTY, dtype=np.int32)
+    entry[counts == 0] = a_vals[counts == 0]
+    if len(lw):
+        offs = a_vals[lw, ls].astype(np.int64)
+        cnts = counts[lw, ls].astype(np.int64)
+        k = np.arange(leaf_size, dtype=np.int64)
+        slot_idx = np.clip(offs[:, None] + k[None, :], 0, s_len - 1)
+        valid = k[None, :] < cnts[:, None]
+        tid = np.where(valid, order_slots[slot_idx], -1)
+        safe = np.maximum(tid, 0)
+        p = tris[safe]  # (L, leaf_size, 3, 3)
+        v0 = p[:, :, 0]
+        e1 = p[:, :, 1] - v0
+        e2 = p[:, :, 2] - v0
+        packed = np.concatenate([v0, e1, e2], axis=-1)  # (L, leaf_size, 9)
+        packed[~valid] = 0.0
+        table[m:, : 9 * leaf_size] = packed.reshape(len(lw), 9 * leaf_size)
+        leaf_perm[m:] = tid.astype(np.int32)
+        # leaf entry code addresses the unified row, one's-complement-offset
+        entry[lw, ls] = -(m + np.arange(len(lw), dtype=np.int32)) - 1
+
+    # --- node rows: bf16-pair boxes + entry codes ------------------------
+    lo = boxes[..., 0:3]  # (M, A, 3)
+    hi = boxes[..., 3:6]
+    finite = np.isfinite(lo) & np.isfinite(hi)
+    lo_b = np.where(finite, _bf16_down_bits(np.where(finite, lo, 0.0)),
+                    np.float32(np.inf).view(np.uint32) & np.uint32(0xFFFF0000))
+    hi_b = np.where(finite, _bf16_up_bits(np.where(finite, hi, 0.0)),
+                    (-np.float32(np.inf)).view(np.uint32) & np.uint32(0xFFFF0000))
+    pair = (lo_b & np.uint32(0xFFFF0000)) | (hi_b >> np.uint32(16))
+    table[:m, : 3 * arity] = (
+        pair.astype(np.uint32).reshape(m, 3 * arity).view(np.float32)
+    )
+    table[:m, 3 * arity : 4 * arity] = entry.view(np.float32)
+
+    # exact tree height -> minimal correct stack depth (no silent drops)
+    height = 0
+    frontier = np.asarray([0], dtype=np.int64)
+    while frontier.size:
+        kids = entry[frontier]  # (F, A)
+        internal = kids >= 0
+        frontier = kids[internal].astype(np.int64)
+        height += 1
+        if height > 64:  # defensive: malformed tree
+            break
+    stack_depth = (arity - 1) * height + 2
+
+    dev = jax.device_put((table, leaf_perm))  # one batched upload
+    return WideBVH(
+        table=dev[0],
+        leaf_perm=dev[1],
+        leaf_size=leaf_size,
+        arity=arity,
+        packed=True,
+        stack_depth=stack_depth,
+    )
+
+
+def _surface_area(lo, hi):
+    d = np.maximum(hi - lo, 0.0)
+    return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+
+def collapse_bvh2(tris: np.ndarray, leaf_size: int, arity: int):
+    """Build a BVH2 and collapse it to branching factor ``arity`` with leaf
+    MERGING: sibling BVH2 leaves inside a wide node are bin-packed
+    (first-fit decreasing) into shared slots of up to leaf_size triangles, so
+    packed leaf rows run full and the expansion absorbs more internals.
+
+    Returns (boxes (M,A,6), meta (M,A,2) [a, count], order_slots) in the
+    pack_wide input convention. Pure-Python mirror of the native builder.
+    """
+    nodes, order = build_bvh2(tris, leaf_size)
+
+    wide_slots: list[list] = []  # per wide node: list of slot records
+    wide_index: dict[int, int] = {}
+
+    def slots_needed(group):
+        internals = sum(1 for c in group if nodes[c].count == 0)
+        leaf_counts = sorted(
+            (nodes[c].count for c in group if nodes[c].count > 0),
+            reverse=True,
+        )
+        bins: list[int] = []
+        for lc in leaf_counts:
+            for i, b in enumerate(bins):
+                if b + lc <= leaf_size:
+                    bins[i] += lc
+                    break
+            else:
+                bins.append(lc)
+        return internals + len(bins)
+
+    def make_wide(b2: int) -> int:
+        n = nodes[b2]
+        group = [n.left, n.right] if n.count == 0 else [b2]
+        while True:
+            best, best_sa = -1, -1.0
+            for i, c in enumerate(group):
+                cn = nodes[c]
+                if cn.count == 0:
+                    sa = _surface_area(cn.lo, cn.hi)
+                    if sa > best_sa:
+                        best, best_sa = i, sa
+            if best < 0:
+                break
+            cn = nodes[group[best]]
+            trial = group[:best] + [cn.left, cn.right] + group[best + 1 :]
+            if slots_needed(trial) > arity:
+                break
+            group = trial
+        # slot records: ("i", b2) internal | ("l", [leaf ids]) merged leaves
+        slots = [("i", c) for c in group if nodes[c].count == 0]
+        leaf_ids = sorted(
+            (c for c in group if nodes[c].count > 0),
+            key=lambda c: -nodes[c].count,
+        )
+        bin_fill: list[int] = []
+        bin_slot: list[int] = []
+        for lid in leaf_ids:
+            lc = nodes[lid].count
+            for k in range(len(bin_fill)):
+                if bin_fill[k] + lc <= leaf_size:
+                    bin_fill[k] += lc
+                    slots[bin_slot[k]][1].append(lid)
+                    break
+            else:
+                bin_fill.append(lc)
+                bin_slot.append(len(slots))
+                slots.append(("l", [lid]))
+        wide_slots.append(slots)
+        wide_index[b2] = len(wide_slots) - 1
+        return wide_index[b2]
+
+    root = make_wide(0)
+    queue = [root]
+    while queue:
+        w = queue.pop()
+        for kind, payload in wide_slots[w]:
+            if kind == "i" and payload not in wide_index:
+                make_wide(payload)
+                queue.append(wide_index[payload])
+
+    m = len(wide_slots)
+    boxes = np.zeros((m, arity, 6), dtype=np.float32)
+    boxes[..., 0:3] = np.inf
+    boxes[..., 3:6] = -np.inf
+    meta = np.full((m, arity, 2), [0, -1], dtype=np.int32)
+
+    total = int(
+        sum(
+            nodes[lid].count
+            for g in wide_slots
+            for kind, payload in g
+            if kind == "l"
+            for lid in payload
+        )
+    )
+    total = max(total, 1)
+    order_slots = np.full(total, -1, dtype=np.int64)
+    cursor = 0
+    for w, group in enumerate(wide_slots):
+        for s, (kind, payload) in enumerate(group):
+            if kind == "i":
+                cn = nodes[payload]
+                boxes[w, s, 0:3] = cn.lo
+                boxes[w, s, 3:6] = cn.hi
+                meta[w, s] = (wide_index[payload], 0)
+            else:
+                cnt = 0
+                lo = np.full(3, np.inf, dtype=np.float32)
+                hi = np.full(3, -np.inf, dtype=np.float32)
+                start = cursor
+                for lid in payload:
+                    cn = nodes[lid]
+                    lo = np.minimum(lo, cn.lo)
+                    hi = np.maximum(hi, cn.hi)
+                    ids = order[cn.start : cn.start + cn.count]
+                    order_slots[cursor : cursor + cn.count] = ids
+                    cursor += cn.count
+                    cnt += cn.count
+                boxes[w, s, 0:3] = lo
+                boxes[w, s, 3:6] = hi
+                meta[w, s] = (start, cnt)
+
+    return boxes, meta, order_slots
+
+
+def build(tris: np.ndarray, leaf_size: int = LEAF_SIZE,
+          arity: int = ARITY) -> WideBVH:
+    """Build the packed wide BVH from (T, 3, 3) triangle corners (Python
+    collapse; prefer ops/bvh_native.build which uses the C++ builder)."""
+    boxes, meta, order_slots = collapse_bvh2(tris, leaf_size, arity)
+    return pack_wide(boxes, meta, tris, order_slots, leaf_size, arity)
+
+
+# --------------------------------------------------------------------------
+# Legacy round-1 format (8-wide, full-f32 boxes, [a, kind] meta) — still used
+# by the experimental Pallas packet kernels (ops/pallas_traverse.py,
+# ops/traverse_packet.py).
+# --------------------------------------------------------------------------
+
+
+def pack_wide_legacy8(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
+                      order_slots: np.ndarray, leaf_size: int) -> WideBVH:
+    """Round-1 layout: 8 children x [lo3, hi3] f32 (48 cols) then 8 x
+    [a, kind] i32 bitcast (16 cols); kind: 0 internal, 1 leaf, -1 empty."""
     m = boxes.shape[0]
     counts = meta[..., 1]
     a_vals = meta[..., 0]
@@ -99,15 +360,14 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
         valid = k[None, :] < cnts[:, None]
         tid = np.where(valid, order_slots[slot_idx], -1)
         safe = np.maximum(tid, 0)
-        p = tris[safe]  # (L, 8, 3, 3)
+        p = tris[safe]
         v0 = p[:, :, 0]
         e1 = p[:, :, 1] - v0
         e2 = p[:, :, 2] - v0
-        packed = np.concatenate([v0, e1, e2], axis=-1)  # (L, leaf_size, 9)
+        packed = np.concatenate([v0, e1, e2], axis=-1)
         packed[~valid] = 0.0
         table[m:, : 9 * leaf_size] = packed.reshape(len(lw), 9 * leaf_size)
         leaf_perm[m:] = tid.astype(np.int32)
-        # leaf child pointers address unified rows (offset by M)
         new_a[lw, ls] = m + np.arange(len(lw), dtype=np.int32)
 
     meta_packed = np.zeros((m, 8, 2), dtype=np.int32)
@@ -116,93 +376,29 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
     table[:m, :48] = boxes.reshape(m, 48)
     table[:m, 48:64] = meta_packed.reshape(m, 16).view(np.float32)
 
-    # exact tree height → minimal correct stack depth (no silent drops)
     height = 0
     frontier = np.asarray([0], dtype=np.int64)
     while frontier.size:
-        kids = new_a[frontier]  # (F, 8)
+        kids = new_a[frontier]
         internal = new_kind[frontier] == 0
         frontier = kids[internal].astype(np.int64)
         height += 1
-        if height > 64:  # defensive: malformed tree
+        if height > 64:
             break
-    stack_depth = (WIDTH - 1) * height + 2
+    stack_depth = (8 - 1) * height + 2
 
+    dev = jax.device_put((table, leaf_perm))
     return WideBVH(
-        table=jnp.asarray(table),
-        leaf_perm=jnp.asarray(leaf_perm),
+        table=dev[0],
+        leaf_perm=dev[1],
         leaf_size=leaf_size,
+        arity=8,
+        packed=False,
         stack_depth=stack_depth,
     )
 
 
-def _surface_area(lo, hi):
-    d = np.maximum(hi - lo, 0.0)
-    return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
-
-
-def build(tris: np.ndarray, leaf_size: int = LEAF_SIZE8) -> WideBVH:
-    """Build the wide BVH from (T, 3, 3) triangle corners."""
-    nodes, order = build_bvh2(tris, leaf_size)
-
-    # Collapse: each wide node absorbs up to 8 BVH2 descendants, repeatedly
-    # expanding the largest-surface-area internal candidate.
-    wide_children: list[list[int]] = []  # wide node -> list of bvh2 node ids
-    wide_index: dict[int, int] = {}  # bvh2 id -> wide node id
-
-    def make_wide(b2: int) -> int:
-        n = nodes[b2]
-        group = [n.left, n.right] if n.count == 0 else [b2]
-        while len(group) < WIDTH:
-            best, best_sa = -1, -1.0
-            for i, c in enumerate(group):
-                cn = nodes[c]
-                if cn.count == 0:
-                    sa = _surface_area(cn.lo, cn.hi)
-                    if sa > best_sa:
-                        best, best_sa = i, sa
-                    # expanding must not overflow the 8 slots
-            if best < 0 or len(group) + 1 > WIDTH:
-                break
-            cn = nodes[group[best]]
-            group[best : best + 1] = [cn.left, cn.right]
-        idx = len(wide_children)
-        wide_children.append(group)
-        wide_index[b2] = idx
-        return idx
-
-    # BFS from root so parents get indices before children
-    root = make_wide(0)
-    queue = [root]
-    while queue:
-        w = queue.pop()
-        for c in wide_children[w]:
-            if nodes[c].count == 0 and c not in wide_index:
-                make_wide(c)
-                queue.append(wide_index[c])
-
-    m = len(wide_children)
-    boxes = np.zeros((m, WIDTH, 6), dtype=np.float32)
-    boxes[..., 0:3] = np.inf
-    boxes[..., 3:6] = -np.inf
-    meta = np.full((m, WIDTH, 2), [0, -1], dtype=np.int32)
-
-    # leaf triangle slots (slot-offset form; pack_wide converts to leaf rows)
-    total = int(sum(nodes[c].count for g in wide_children for c in g))
-    total = max(total, 1)
-    order_slots = np.full(total, -1, dtype=np.int64)
-    cursor = 0
-    for w, group in enumerate(wide_children):
-        for s, c in enumerate(group):
-            cn = nodes[c]
-            boxes[w, s, 0:3] = cn.lo
-            boxes[w, s, 3:6] = cn.hi
-            if cn.count == 0:
-                meta[w, s] = (wide_index[c], 0)
-            else:
-                ids = order[cn.start : cn.start + cn.count]
-                meta[w, s] = (cursor, cn.count)
-                order_slots[cursor : cursor + cn.count] = ids
-                cursor += cn.count
-
-    return pack_wide(boxes, meta, tris, order_slots, leaf_size)
+def build_legacy8(tris: np.ndarray, leaf_size: int = LEAF_SIZE8) -> WideBVH:
+    """Build the legacy 8-wide f32 BVH (Pallas experiment format)."""
+    boxes, meta, order_slots = collapse_bvh2(tris, leaf_size, 8)
+    return pack_wide_legacy8(boxes, meta, tris, order_slots, leaf_size)

@@ -2,7 +2,9 @@
 
 Same output contract as ops/bvh8.build; the native path is ~2 orders of
 magnitude faster on the host and is the default used by Scene build for
-large triangle counts.
+large triangle counts. Produces the packed (bf16-box, entry-coded) wide
+format; ``build_legacy8`` in ops/bvh8.py keeps the round-1 format for the
+experimental Pallas kernels.
 """
 
 from __future__ import annotations
@@ -13,19 +15,20 @@ import numpy as np
 
 from fovpathtracing_optixcodelatest_tpu.ops import bvh8 as bvh8_py
 from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import (
-    LEAF_SIZE8,
+    ARITY,
+    LEAF_SIZE,
     WideBVH,
     pack_wide,
 )
 from fovpathtracing_optixcodelatest_tpu.ops.native import load_library
 
 
-def build(tris: np.ndarray, leaf_size: int = LEAF_SIZE8,
-          force_python: bool = False) -> WideBVH:
-    """Build a WideBVH from (T, 3, 3) float32 corners (native if available)."""
-    lib = None if force_python else load_library()
+def collapse_native(tris: np.ndarray, leaf_size: int, arity: int):
+    """Run the native binned-SAH build + collapse. Returns
+    (boxes, meta, order_slots) or None if the library is unavailable."""
+    lib = load_library()
     if lib is None:
-        return bvh8_py.build(tris, leaf_size)
+        return None
 
     tris = np.ascontiguousarray(tris, dtype=np.float32)
     t_count = tris.shape[0]
@@ -34,10 +37,11 @@ def build(tris: np.ndarray, leaf_size: int = LEAF_SIZE8,
     perm_p = ctypes.POINTER(ctypes.c_int32)()
     num_nodes = ctypes.c_int64()
     num_slots = ctypes.c_int64()
-    rc = lib.fovtix_build_bvh8(
+    rc = lib.fovtix_build_bvhw(
         tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int64(t_count),
         ctypes.c_int(leaf_size),
+        ctypes.c_int(arity),
         ctypes.byref(boxes_p),
         ctypes.byref(meta_p),
         ctypes.byref(num_nodes),
@@ -45,15 +49,26 @@ def build(tris: np.ndarray, leaf_size: int = LEAF_SIZE8,
         ctypes.byref(num_slots),
     )
     if rc != 0:
-        return bvh8_py.build(tris, leaf_size)
+        return None
     try:
         m = num_nodes.value
         s = num_slots.value
-        boxes = np.ctypeslib.as_array(boxes_p, shape=(m, 8, 6)).copy()
-        meta = np.ctypeslib.as_array(meta_p, shape=(m, 8, 2)).copy()
+        boxes = np.ctypeslib.as_array(boxes_p, shape=(m, arity, 6)).copy()
+        meta = np.ctypeslib.as_array(meta_p, shape=(m, arity, 2)).copy()
         perm = np.ctypeslib.as_array(perm_p, shape=(s,)).copy()
     finally:
         lib.fovtix_free(boxes_p)
         lib.fovtix_free(meta_p)
         lib.fovtix_free(perm_p)
-    return pack_wide(boxes, meta, tris, perm.astype(np.int64), leaf_size)
+    return boxes, meta, perm.astype(np.int64)
+
+
+def build(tris: np.ndarray, leaf_size: int = LEAF_SIZE, arity: int = ARITY,
+          force_python: bool = False) -> WideBVH:
+    """Build a packed WideBVH from (T, 3, 3) float32 corners
+    (native collapse if available)."""
+    out = None if force_python else collapse_native(tris, leaf_size, arity)
+    if out is None:
+        return bvh8_py.build(tris, leaf_size, arity)
+    boxes, meta, perm = out
+    return pack_wide(boxes, meta, tris, perm, leaf_size, arity)

@@ -48,11 +48,12 @@ def load_library():
         except OSError as e:
             print(f"[fovtix native] load failed: {e}", file=sys.stderr)
             return None
-        lib.fovtix_build_bvh8.restype = ctypes.c_int
-        lib.fovtix_build_bvh8.argtypes = [
+        lib.fovtix_build_bvhw.restype = ctypes.c_int
+        lib.fovtix_build_bvhw.argtypes = [
             ctypes.POINTER(ctypes.c_float),  # tris
             ctypes.c_int64,  # T
             ctypes.c_int,  # leaf_size
+            ctypes.c_int,  # arity
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),  # boxes
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),  # meta
             ctypes.POINTER(ctypes.c_int64),  # num_nodes

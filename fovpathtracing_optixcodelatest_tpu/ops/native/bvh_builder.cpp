@@ -212,18 +212,19 @@ struct Builder {
   }
 };
 
-constexpr int kWidth = 8;
-
 }  // namespace
 
 extern "C" {
 
 // Returns 0 on success. Caller frees outputs with fovtix_free().
-int fovtix_build_bvh8(const float* tris, int64_t T, int leaf_size,
+// ``arity`` is the wide-node branching factor (8 or 16 in practice).
+int fovtix_build_bvhw(const float* tris, int64_t T, int leaf_size, int arity,
                       float** out_boxes, int32_t** out_meta,
                       int64_t* out_num_nodes, int32_t** out_tri_perm,
                       int64_t* out_num_slots) {
   if (T <= 0 || leaf_size < 1 || leaf_size > 15) return 1;
+  if (arity < 2 || arity > 64) return 1;
+  const int kWidth = arity;
   Builder b;
   b.tris = tris;
   b.T = T;
@@ -231,11 +232,43 @@ int fovtix_build_bvh8(const float* tris, int64_t T, int leaf_size,
   b.build();
   const auto& nodes = b.nodes;
 
-  // collapse to 8-wide (same policy as ops/bvh8.py: expand the largest-SA
-  // internal candidate until 8 slots)
-  std::vector<std::vector<int32_t>> wide;
+  // Collapse to ``arity``-wide with leaf MERGING: sibling BVH2 leaves inside
+  // one wide node are bin-packed (first-fit decreasing) into shared leaf
+  // slots of up to leaf_size triangles, so leaf rows in the packed table run
+  // full and freed slots let the expansion absorb more internal nodes.
+  // (The naive collapse averaged 6/16 fill and half-empty leaf rows.)
+  struct SlotRec {
+    int32_t internal_b2 = -1;          // >=0: internal child (BVH2 id)
+    std::vector<int32_t> leaves;       // else: merged BVH2 leaf ids
+  };
+  std::vector<std::vector<SlotRec>> wide;
   std::vector<int32_t> wide_of(nodes.size(), -1);
   std::vector<int32_t> queue;
+
+  auto slots_needed = [&](const std::vector<int32_t>& g) {
+    std::vector<int64_t> leaf_counts;
+    int internals = 0;
+    for (int32_t c : g) {
+      if (nodes[c].count == 0)
+        internals++;
+      else
+        leaf_counts.push_back(nodes[c].count);
+    }
+    std::sort(leaf_counts.rbegin(), leaf_counts.rend());
+    std::vector<int64_t> bins;
+    for (int64_t lc : leaf_counts) {
+      bool placed = false;
+      for (auto& bn : bins)
+        if (bn + lc <= leaf_size) {
+          bn += lc;
+          placed = true;
+          break;
+        }
+      if (!placed) bins.push_back(lc);
+    }
+    return internals + (int)bins.size();
+  };
+
   auto make_wide = [&](int32_t b2) {
     const Node& n = nodes[b2];
     std::vector<int32_t> group;
@@ -244,7 +277,7 @@ int fovtix_build_bvh8(const float* tris, int64_t T, int leaf_size,
     } else {
       group = {b2};
     }
-    while ((int)group.size() < kWidth) {
+    while (true) {
       int best = -1;
       float best_sa = -1.f;
       for (int i = 0; i < (int)group.size(); ++i) {
@@ -255,12 +288,50 @@ int fovtix_build_bvh8(const float* tris, int64_t T, int leaf_size,
         }
       }
       if (best < 0) break;
-      const Node& c = nodes[group[best]];
-      int32_t l = c.left, r = c.right;
-      group[best] = l;
-      group.insert(group.begin() + best + 1, r);
+      std::vector<int32_t> trial = group;
+      const Node& c = nodes[trial[best]];
+      trial[best] = c.left;
+      trial.insert(trial.begin() + best + 1, c.right);
+      if (slots_needed(trial) > kWidth) break;
+      group.swap(trial);
     }
-    wide.push_back(std::move(group));
+    // bin-pack the leaf children (first-fit decreasing)
+    std::vector<SlotRec> slots;
+    std::vector<int32_t> leaf_ids;
+    for (int32_t c : group) {
+      if (nodes[c].count == 0) {
+        SlotRec s;
+        s.internal_b2 = c;
+        slots.push_back(std::move(s));
+      } else {
+        leaf_ids.push_back(c);
+      }
+    }
+    std::sort(leaf_ids.begin(), leaf_ids.end(), [&](int32_t a2, int32_t b3) {
+      return nodes[a2].count > nodes[b3].count;
+    });
+    std::vector<int64_t> bin_fill;
+    std::vector<int> bin_slot;
+    for (int32_t lid : leaf_ids) {
+      int64_t lc = nodes[lid].count;
+      int found = -1;
+      for (size_t k = 0; k < bin_fill.size(); ++k)
+        if (bin_fill[k] + lc <= leaf_size) {
+          found = (int)k;
+          break;
+        }
+      if (found < 0) {
+        bin_fill.push_back(lc);
+        bin_slot.push_back((int)slots.size());
+        SlotRec s;
+        s.leaves.push_back(lid);
+        slots.push_back(std::move(s));
+      } else {
+        bin_fill[found] += lc;
+        slots[bin_slot[found]].leaves.push_back(lid);
+      }
+    }
+    wide.push_back(std::move(slots));
     wide_of[b2] = (int32_t)wide.size() - 1;
     return wide_of[b2];
   };
@@ -269,30 +340,30 @@ int fovtix_build_bvh8(const float* tris, int64_t T, int leaf_size,
   while (!queue.empty()) {
     int32_t w = queue.back();
     queue.pop_back();
-    for (int32_t c : wide[w]) {
-      if (nodes[c].count == 0 && wide_of[c] < 0) {
-        queue.push_back(make_wide(c));
+    for (const SlotRec& s : wide[w]) {
+      if (s.internal_b2 >= 0 && wide_of[s.internal_b2] < 0) {
+        queue.push_back(make_wide(s.internal_b2));
       }
     }
   }
 
   int64_t m = (int64_t)wide.size();
-  int64_t slots = 0;
+  int64_t slots_total = 0;
   for (const auto& g : wide)
-    for (int32_t c : g)
-      if (nodes[c].count > 0) slots += nodes[c].count;
-  if (slots == 0) slots = 1;
+    for (const SlotRec& s : g)
+      for (int32_t lid : s.leaves) slots_total += nodes[lid].count;
+  if (slots_total == 0) slots_total = 1;
 
   float* boxes = (float*)std::malloc(sizeof(float) * m * kWidth * 6);
   int32_t* meta = (int32_t*)std::malloc(sizeof(int32_t) * m * kWidth * 2);
-  int32_t* perm = (int32_t*)std::malloc(sizeof(int32_t) * slots);
+  int32_t* perm = (int32_t*)std::malloc(sizeof(int32_t) * slots_total);
   if (!boxes || !meta || !perm) {
     std::free(boxes);
     std::free(meta);
     std::free(perm);
     return 2;
   }
-  for (int64_t i = 0; i < slots; ++i) perm[i] = -1;
+  for (int64_t i = 0; i < slots_total; ++i) perm[i] = -1;
 
   int64_t cursor = 0;
   for (int64_t w = 0; w < m; ++w) {
@@ -306,22 +377,37 @@ int fovtix_build_bvh8(const float* tris, int64_t T, int leaf_size,
         mt[1] = -1;
         continue;
       }
-      const Node& c = nodes[wide[w][s]];
-      bx[0] = c.box.lo.x;
-      bx[1] = c.box.lo.y;
-      bx[2] = c.box.lo.z;
-      bx[3] = c.box.hi.x;
-      bx[4] = c.box.hi.y;
-      bx[5] = c.box.hi.z;
-      if (c.count == 0) {
-        mt[0] = wide_of[wide[w][s]];
+      const SlotRec& sr = wide[w][s];
+      if (sr.internal_b2 >= 0) {
+        const Node& c = nodes[sr.internal_b2];
+        bx[0] = c.box.lo.x;
+        bx[1] = c.box.lo.y;
+        bx[2] = c.box.lo.z;
+        bx[3] = c.box.hi.x;
+        bx[4] = c.box.hi.y;
+        bx[5] = c.box.hi.z;
+        mt[0] = wide_of[sr.internal_b2];
         mt[1] = 0;
       } else {
+        AABB ub;
+        int64_t cnt = 0;
+        int64_t at = cursor;
+        for (int32_t lid : sr.leaves) {
+          const Node& c = nodes[lid];
+          ub.grow(c.box);
+          for (int64_t k = 0; k < c.count; ++k)
+            perm[at++] = (int32_t)b.order[c.start + k];
+          cnt += c.count;
+        }
+        bx[0] = ub.lo.x;
+        bx[1] = ub.lo.y;
+        bx[2] = ub.lo.z;
+        bx[3] = ub.hi.x;
+        bx[4] = ub.hi.y;
+        bx[5] = ub.hi.z;
         mt[0] = (int32_t)cursor;
-        mt[1] = (int32_t)c.count;
-        for (int64_t k = 0; k < c.count; ++k)
-          perm[cursor + k] = (int32_t)b.order[c.start + k];
-        cursor += c.count;
+        mt[1] = (int32_t)cnt;
+        cursor = at;
       }
     }
   }
@@ -330,8 +416,16 @@ int fovtix_build_bvh8(const float* tris, int64_t T, int leaf_size,
   *out_meta = meta;
   *out_num_nodes = m;
   *out_tri_perm = perm;
-  *out_num_slots = slots;
+  *out_num_slots = slots_total;
   return 0;
+}
+
+int fovtix_build_bvh8(const float* tris, int64_t T, int leaf_size,
+                      float** out_boxes, int32_t** out_meta,
+                      int64_t* out_num_nodes, int32_t** out_tri_perm,
+                      int64_t* out_num_slots) {
+  return fovtix_build_bvhw(tris, T, leaf_size, 8, out_boxes, out_meta,
+                           out_num_nodes, out_tri_perm, out_num_slots);
 }
 
 void fovtix_free(void* p) { std::free(p); }

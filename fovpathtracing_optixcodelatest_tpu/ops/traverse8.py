@@ -1,26 +1,29 @@
 """Per-ray 8-wide BVH traversal, TPU-layout-native.
 
-The fast traversal path (data structure: ops/bvh8.py). Three hard-won TPU
-rules shape this module (all measured on a v5e, see git history):
+The fast traversal path (data structure: ops/bvh8.py). The hard-won TPU rules
+that shape this module (all measured on a v5e — see git history and PLAN.md):
 
-1. EVERY array in the while_loop carry and body is 2-D with the ray batch N
-   as the MINOR (lane) dimension: per-ray scalars are (1, N) rows, the stack
-   is one (D, N) matrix. Mixed (N,)-vector / 2-D-row state makes XLA insert
-   per-row layout conversions lowered as reduces (~2ms per row per
-   iteration); all-2-D state keeps everything in native (8,128) tiling.
+1. EVERY per-ray array in the while_loop carry and body is a DENSE (8, L)
+   tile (the ray chunk reshaped to 8 sublanes x L lanes), and the stack is
+   (D, 8, L). Round 1 used (1, N) rows, which tile as T(1,128) — only 1 of 8
+   VPU sublanes live; the profiler showed ~35 of 68 us/iteration burned in
+   that sublane-wasted elementwise soup. Dense (8, L) state runs the same ops
+   ~8x denser.
 
 2. Tables (nodes/leaves) are jit ARGUMENTS — closure-captured tables become
    XLA constants whose gathers scalarize (measured 300x slower).
 
 3. One gather per step: node rows pack child boxes + bitcast meta into 64
-   floats; leaf rows pack leaf_size padded triangles (9 floats each). Row
-   gathers of contiguous floats run near HBM bandwidth.
+   floats; leaf rows pack leaf_size padded triangles (9 floats each). The
+   gather runs VMEM-resident at ~170 GB/s inside the loop (the table is
+   hoisted out of the while body by XLA); one transpose-copy per step turns
+   the gathered (8, L, W) block into W dense (8, L) planes.
 
-One while_loop iteration pops one entry per ray (one-hot sum over the (D, N)
-stack), and either expands an internal node (8 unrolled slab tests + push of
-hit children, near-to-far via a Batcher sorting network on (1, N) rows) or
+One while_loop iteration pops one entry per ray (one-hot sum over the
+(D, 8, L) stack), and either expands an internal node (8 unrolled slab tests
++ push of hit children, near-to-far via a Batcher sorting network) or
 intersects its leaf row (unrolled Möller-Trumbore). Iterations ≈ max
-per-ray pops.
+per-ray pops within a chunk.
 
 ``occluded`` implements the reference's occlusion ray semantics: back-face
 culling + first-hit termination (deviceProgram.cu:224-248).
@@ -32,99 +35,110 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import WIDTH, WideBVH
+from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import EMPTY, WideBVH
 
 # Default ray-chunk length: each chunk runs its own while_loop under lax.map,
 # so a chunk of early-finishing rays stops at ITS max pop count instead of the
 # global batch max — the cheap tail-latency fix for lockstep traversal.
-# 16k measured best on v5e (smaller chunks tighten the tail further but lose
-# gather bandwidth).
 DEFAULT_CHUNK = 1 << 14
 
-# Batcher odd-even merge network for 8 elements (19 comparators).
-_SORT_NET = (
-    (0, 1), (2, 3), (4, 5), (6, 7),
-    (0, 2), (1, 3), (4, 6), (5, 7),
-    (1, 2), (5, 6),
-    (0, 4), (1, 5), (2, 6), (3, 7),
-    (2, 4), (3, 5),
-    (1, 2), (3, 4), (5, 6),
-)
+# Sublane tiling: a chunk of N rays is laid out as (8, N // 8).
+SUB = 8
+
+def _batcher_net(n: int):
+    """Batcher odd-even mergesort comparator list for power-of-two n
+    (19 comparators at n=8, 63 at n=16; verified by the 0/1 principle)."""
+    pairs = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        pairs.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return pairs
 
 
-def _rows(x):
-    """(N, C) -> list of C (1, N) rows (one transpose, then free slices)."""
-    xt = x.T
-    return [xt[i : i + 1] for i in range(xt.shape[0])]
+def _tiles3(x, l):
+    """(N, 3) -> list of 3 (8, L) planes (one transpose outside the loop)."""
+    return [c.reshape(SUB, l) for c in x.T]
 
 
-def _sort8_desc(keys, vals):
+def _sort_desc(keys, *val_lists):
+    """Sort keys descending via the Batcher network, permuting every value
+    list along. Returns (keys, *val_lists) sorted."""
     k = list(keys)
-    v = list(vals)
-    for i, j in _SORT_NET:
+    vs = [list(v) for v in val_lists]
+    for i, j in _batcher_net(len(keys)):
         swap = k[i] < k[j]
-        ki = jnp.where(swap, k[j], k[i])
-        kj = jnp.where(swap, k[i], k[j])
-        vi = jnp.where(swap, v[j], v[i])
-        vj = jnp.where(swap, v[i], v[j])
-        k[i], k[j], v[i], v[j] = ki, kj, vi, vj
-    return k, v
+        k[i], k[j] = (
+            jnp.where(swap, k[j], k[i]),
+            jnp.where(swap, k[i], k[j]),
+        )
+        for v in vs:
+            v[i], v[j] = (
+                jnp.where(swap, v[j], v[i]),
+                jnp.where(swap, v[i], v[j]),
+            )
+    return (k, *vs)
 
 
 def _gather_row(table, entry, is_leaf):
     """ONE unified row gather per step: node rows and leaf rows live in the
     same (U, W) table, so entry type never costs a second gather.
 
-    The index stays 2-D (1, N): gathering with the (1,N) row directly is
-    ~12x faster than reshaping to (N,) first — that reshape is the
-    T(8,128)→T(1024) relayout pathology."""
-    row = jnp.where(is_leaf, -entry - 1, jnp.maximum(entry, 0))  # (1, N)
-    g = jnp.take(table, row, axis=0)  # (1, N, W)
-    n = row.shape[1]
-    return g.reshape(n, table.shape[1]).T  # (W, N)
+    Returns W planes of (8, L)."""
+    row = jnp.where(is_leaf, -entry - 1, jnp.maximum(entry, 0))  # (8, L)
+    g = jnp.take(table, row, axis=0)  # (8, L, W)
+    gt = jnp.transpose(g, (2, 0, 1))  # (W, 8, L) — the one relayout per step
+    return gt
 
 
-def _expand(gt, is_node, o_r, inv_r, tmin, tlimit):
-    """Slab-test the 8 children encoded in a gathered node row (cols 0..63).
+def _expand(gt, is_node, o_r, inv_r, tmin, tlimit, arity):
+    """Slab-test the ``arity`` children encoded in a gathered node row.
 
-    Returns (hits, t_nears, entries): lists of 8 (1, N) arrays. Leaf children
-    get entries encoded as -(row + 1).
+    Box bounds are conservative bf16 pairs packed two-per-f32 (bvh8.py):
+    lo = high 16 bits widened, hi = low 16 bits widened. Child metadata is
+    the pre-encoded traversal entry code (>=0 internal, <0 leaf, EMPTY).
+
+    Returns (hits, t_nears, entries): lists of ``arity`` (8, L) arrays.
     """
     hits, tns, entries = [], [], []
-    for c in range(WIDTH):
+    mask_hi = jnp.uint32(0xFFFF0000)
+    for c in range(arity):
         tn = jnp.full_like(tlimit, -jnp.inf)
         tf = jnp.full_like(tlimit, jnp.inf)
         for a in range(3):
-            lo = gt[c * 6 + a : c * 6 + a + 1]
-            hi = gt[c * 6 + 3 + a : c * 6 + 3 + a + 1]
+            u = lax.bitcast_convert_type(gt[c * 3 + a], jnp.uint32)
+            lo = lax.bitcast_convert_type(u & mask_hi, jnp.float32)
+            hi = lax.bitcast_convert_type(u << 16, jnp.float32)
             t0 = (lo - o_r[a]) * inv_r[a]
             t1 = (hi - o_r[a]) * inv_r[a]
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        meta = lax.bitcast_convert_type(
-            gt[48 + c * 2 : 48 + c * 2 + 2], jnp.int32
-        )
-        a_val = meta[0:1]
-        kind = meta[1:2]
+        code = lax.bitcast_convert_type(gt[3 * arity + c], jnp.int32)
         hit = (
-            (tn <= tf) & (tf >= tmin) & (tn <= tlimit) & (kind >= 0) & is_node
+            (tn <= tf) & (tf >= tmin) & (tn <= tlimit)
+            & (code != EMPTY) & is_node
         )
-        child_entry = jnp.where(kind > 0, -(a_val + 1), a_val)
         hits.append(hit)
         tns.append(tn)
-        entries.append(child_entry)
+        entries.append(code)
     return hits, tns, entries
 
 
 def _leaf_hits(gt, is_leaf, o_r, d_r, tmin, tmax, cull_backface, leaf_size):
     """leaf_size unrolled Möller-Trumbore tests against a gathered leaf row.
-    Returns list of tuples (hit, t, u, v) of (1, N) arrays."""
+    Returns list of tuples (hit, t, u, v) of (8, L) arrays."""
     out = []
     for k in range(leaf_size):
         b = k * 9
-        v0 = (gt[b + 0 : b + 1], gt[b + 1 : b + 2], gt[b + 2 : b + 3])
-        e1 = (gt[b + 3 : b + 4], gt[b + 4 : b + 5], gt[b + 5 : b + 6])
-        e2 = (gt[b + 6 : b + 7], gt[b + 7 : b + 8], gt[b + 8 : b + 9])
+        v0 = (gt[b + 0], gt[b + 1], gt[b + 2])
+        e1 = (gt[b + 3], gt[b + 4], gt[b + 5])
+        e2 = (gt[b + 6], gt[b + 7], gt[b + 8])
         px = d_r[1] * e2[2] - d_r[2] * e2[1]
         py = d_r[2] * e2[0] - d_r[0] * e2[2]
         pz = d_r[0] * e2[1] - d_r[1] * e2[0]
@@ -148,9 +162,9 @@ def _leaf_hits(gt, is_leaf, o_r, d_r, tmin, tmax, cull_backface, leaf_size):
     return out
 
 
-def _ray_rows(origin, direction):
-    o_r = _rows(origin)
-    d_r = _rows(direction)
+def _ray_tiles(origin, direction, l):
+    o_r = _tiles3(origin, l)
+    d_r = _tiles3(direction, l)
     inv_r = [
         1.0 / jnp.where(jnp.abs(c) < 1e-12, jnp.where(c < 0, -1e-12, 1e-12), c)
         for c in d_r
@@ -159,30 +173,87 @@ def _ray_rows(origin, direction):
 
 
 def _pop(stack, sp):
-    """stack (D, N), sp (1, N) → (entry (1, N), new sp). sp==0 pops junk that
-    callers mask via has."""
-    d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None]
+    """stack (D, 8, L), sp (8, L) → (entry (8, L), new sp, has). sp==0 pops
+    junk that callers mask via has."""
+    d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None, None]
     has = sp > 0
     spc = jnp.where(has, sp - 1, 0)
-    entry = jnp.sum(jnp.where(d_iota == spc, stack, 0), axis=0, keepdims=True)
+    entry = jnp.sum(jnp.where(d_iota == spc[None], stack, 0), axis=0)
     return entry, spc, has
+
+
+def _pop2(stack, tn_stack, sp):
+    """Pop (entry, tn) pairs from the twin stacks in one one-hot pass."""
+    d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None, None]
+    has = sp > 0
+    spc = jnp.where(has, sp - 1, 0)
+    onehot = d_iota == spc[None]
+    entry = jnp.sum(jnp.where(onehot, stack, 0), axis=0)
+    tn = jnp.sum(jnp.where(onehot, tn_stack, 0.0), axis=0)
+    return entry, tn, spc, has
+
+
+def _pop_fresh(stack, tn_stack, sp, tlimit, drains: int):
+    """Pop, skipping up to ``drains`` STALE entries (tn at push > current
+    best t): 46% of closest-hit pops are stale by pop time (measured,
+    box_city), and in lockstep every stale pop costs a full iteration.
+    Draining consumes stale entries at ``drains+1``/iteration so tail rays
+    spend iterations on useful pops only. Returns (entry, sp, fresh)."""
+    entry, tn, sp, has = _pop2(stack, tn_stack, sp)
+    for _ in range(drains):
+        stale = has & (tn > tlimit)
+        e2, tn2, sp2, has2 = _pop2(stack, tn_stack, sp)
+        entry = jnp.where(stale, e2, entry)
+        tn = jnp.where(stale, tn2, tn)
+        sp = jnp.where(stale, sp2, sp)
+        has = jnp.where(stale, has2, has)
+    fresh = has & (tn <= tlimit)
+    return entry, sp, fresh
+
+
+def _push2(stack, tn_stack, sp, entries_c, tns_c, cnt):
+    """Twin-stack push of (entry, tn) pairs (see _push)."""
+    d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None, None]
+    kk = d_iota - sp[None]  # (D, 8, L)
+    valid = (kk >= 0) & (kk < cnt[None])
+    eac = entries_c[0][None]
+    tac = tns_c[0][None]
+    for j in range(1, len(entries_c)):
+        sel = kk == j
+        eac = jnp.where(sel, entries_c[j][None], eac)
+        tac = jnp.where(sel, tns_c[j][None], tac)
+    stack = jnp.where(valid, eac, stack)
+    tn_stack = jnp.where(valid, tac, tn_stack)
+    sp = jnp.minimum(sp + cnt, stack.shape[0])
+    return stack, tn_stack, sp
 
 
 def _push(stack, sp, entries_c, cnt):
     """Write entries_c[0..cnt-1] to rows sp..sp+cnt-1 in one broadcast
-    column assignment; overflow drops."""
-    d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None]
-    kk = d_iota - sp  # (D, N)
-    valid = (kk >= 0) & (kk < cnt)
-    eac = entries_c[0]
-    for j in range(1, WIDTH):
-        eac = jnp.where(kk == j, entries_c[j], eac)
+    assignment; overflow drops."""
+    d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None, None]
+    kk = d_iota - sp[None]  # (D, 8, L)
+    valid = (kk >= 0) & (kk < cnt[None])
+    eac = entries_c[0][None]
+    for j in range(1, len(entries_c)):
+        eac = jnp.where(kk == j, entries_c[j][None], eac)
     stack = jnp.where(valid, eac, stack)
     sp = jnp.minimum(sp + cnt, stack.shape[0])
     return stack, sp
 
 
-def _chunked(impl, out_keys, bvh, origin, direction, active, chunk):
+def _pad_rays(origin, direction, active):
+    """Pad the ray count to a multiple of SUB*128 so (8, L) tiles are dense."""
+    n = origin.shape[0]
+    pad = (-n) % (SUB * 128)
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
+        active = jnp.pad(active, (0, pad))
+    return origin, direction, active, n
+
+
+def _chunked(impl, bvh, origin, direction, active, chunk):
     """Run ``impl`` over row chunks with lax.map (see DEFAULT_CHUNK)."""
     n = origin.shape[0]
     pad = (-n) % chunk
@@ -213,47 +284,54 @@ def closest_hit(
 ):
     """Closest-hit query. Returns dict(t, tri_id, u, v, hit, steps) of (N,)
     arrays — same contract as traverse.closest_hit."""
-    n = origin.shape[0]
+    n0 = origin.shape[0]
     if active is None:
-        active = jnp.ones((n,), dtype=bool)
-    if chunk is not None and n > chunk:
+        active = jnp.ones((n0,), dtype=bool)
+    if chunk is not None and n0 > chunk:
         return _chunked(
             lambda b, o, d, a: closest_hit(
                 b, o, d, tmin, tmax, active=a, max_steps=max_steps, chunk=None
             ),
-            ("t", "tri_id", "u", "v", "hit"),
             bvh, origin, direction, active, chunk,
         )
-    o_r, d_r, inv_r = _ray_rows(origin, direction)
+    origin, direction, active, n0 = _pad_rays(origin, direction, active)
+    n = origin.shape[0]
+    l = n // SUB
+    o_r, d_r, inv_r = _ray_tiles(origin, direction, l)
 
     state = (
-        jnp.zeros((bvh.stack_depth, n), dtype=jnp.int32),  # stack
-        active.reshape(1, n).astype(jnp.int32),  # sp (root pre-pushed)
-        jnp.full((1, n), jnp.inf, dtype=jnp.float32),  # t
-        jnp.zeros((1, n), dtype=jnp.float32),  # u
-        jnp.zeros((1, n), dtype=jnp.float32),  # v
-        jnp.full((1, n), -1, dtype=jnp.int32),  # best (leaf*8 + k)
+        jnp.zeros((bvh.stack_depth, SUB, l), dtype=jnp.int32),  # stack
+        jnp.full((bvh.stack_depth, SUB, l), -jnp.inf, jnp.float32),  # tn stack
+        active.reshape(SUB, l).astype(jnp.int32),  # sp (root pre-pushed)
+        jnp.full((SUB, l), jnp.inf, dtype=jnp.float32),  # t
+        jnp.zeros((SUB, l), dtype=jnp.float32),  # u
+        jnp.zeros((SUB, l), dtype=jnp.float32),  # v
+        jnp.full((SUB, l), -1, dtype=jnp.int32),  # best (leaf*8 + k)
         jnp.zeros((), dtype=jnp.int32),  # steps
     )
 
     def cond(s):
-        return jnp.any(s[1] > 0) & (s[6] < max_steps)
+        return jnp.any(s[2] > 0) & (s[7] < max_steps)
 
     def body(s):
-        stack, sp, t, u, v, best, steps = s
-        entry, sp, has = _pop(stack, sp)
-        is_node = has & (entry >= 0)
-        is_leaf = has & (entry < 0)
+        stack, tn_stack, sp, t, u, v, best, steps = s
+        tlimit = jnp.minimum(t, tmax)
+        entry, sp, fresh = _pop_fresh(stack, tn_stack, sp, tlimit, drains=2)
+        is_node = fresh & (entry >= 0)
+        is_leaf = fresh & (entry < 0)
         gt = _gather_row(bvh.table, entry, is_leaf)
 
-        tlimit = jnp.minimum(t, tmax)
-        hits, tns, entries = _expand(gt, is_node, o_r, inv_r, tmin, tlimit)
+        hits, tns, entries = _expand(
+            gt, is_node, o_r, inv_r, tmin, tlimit, bvh.arity
+        )
         keys = [jnp.where(h, tn, -jnp.inf) for h, tn in zip(hits, tns)]
-        _, entries_c = _sort8_desc(keys, entries)  # far→near, misses last
+        keys_c, entries_c, tns_c = _sort_desc(keys, entries, tns)
         cnt = hits[0].astype(jnp.int32)
         for h in hits[1:]:
             cnt = cnt + h.astype(jnp.int32)
-        stack, sp = _push(stack, sp, entries_c, cnt)
+        stack, tn_stack, sp = _push2(
+            stack, tn_stack, sp, entries_c, tns_c, cnt
+        )
 
         leaf = jnp.where(is_leaf, -entry - 1, 0)
         leaf_out = _leaf_hits(
@@ -265,21 +343,21 @@ def closest_hit(
             u = jnp.where(better, u_k, u)
             v = jnp.where(better, v_k, v)
             best = jnp.where(better, leaf * bvh.leaf_size + k, best)
-        return (stack, sp, t, u, v, best, steps + 1)
+        return (stack, tn_stack, sp, t, u, v, best, steps + 1)
 
     out = lax.while_loop(cond, body, state)
-    best = out[5].reshape(-1)
+    best = out[6].reshape(-1)[:n0]
     perm_flat = bvh.leaf_perm.reshape(-1)
     tri_id = jnp.where(
         best >= 0, jnp.take(perm_flat, jnp.maximum(best, 0)), -1
     )
     return {
-        "t": out[2].reshape(-1),
+        "t": out[3].reshape(-1)[:n0],
         "tri_id": tri_id,
-        "u": out[3].reshape(-1),
-        "v": out[4].reshape(-1),
+        "u": out[4].reshape(-1)[:n0],
+        "v": out[5].reshape(-1)[:n0],
         "hit": best >= 0,
-        "steps": out[6],
+        "steps": out[7],
     }
 
 
@@ -297,10 +375,10 @@ def occluded(
     """Any-hit occlusion with first-hit termination. Back-face culling
     defaults on (the PT_sv5_ occlusion ray flag, deviceProgram.cu:237); the
     04-sample shadow ray disables it. Returns (N,) bool."""
-    n = origin.shape[0]
+    n0 = origin.shape[0]
     if active is None:
-        active = jnp.ones((n,), dtype=bool)
-    if chunk is not None and n > chunk:
+        active = jnp.ones((n0,), dtype=bool)
+    if chunk is not None and n0 > chunk:
         return _chunked(
             lambda b, o, d, a: {
                 "occ": occluded(
@@ -308,15 +386,17 @@ def occluded(
                     chunk=None, cull_backface=cull_backface,
                 )
             },
-            ("occ",),
             bvh, origin, direction, active, chunk,
         )["occ"]
-    o_r, d_r, inv_r = _ray_rows(origin, direction)
+    origin, direction, active, n0 = _pad_rays(origin, direction, active)
+    n = origin.shape[0]
+    l = n // SUB
+    o_r, d_r, inv_r = _ray_tiles(origin, direction, l)
 
     state = (
-        jnp.zeros((bvh.stack_depth, n), dtype=jnp.int32),
-        active.reshape(1, n).astype(jnp.int32),
-        jnp.zeros((1, n), dtype=bool),  # occ
+        jnp.zeros((bvh.stack_depth, SUB, l), dtype=jnp.int32),
+        active.reshape(SUB, l).astype(jnp.int32),
+        jnp.zeros((SUB, l), dtype=bool),  # occ
         jnp.zeros((), dtype=jnp.int32),
     )
 
@@ -331,10 +411,10 @@ def occluded(
         is_leaf = has & (entry < 0)
         gt = _gather_row(bvh.table, entry, is_leaf)
 
-        tlim = jnp.full_like(occ, tmax, dtype=jnp.float32)
-        hits, _tns, entries = _expand(gt, is_node, o_r, inv_r, tmin, tlim)
+        tlim = jnp.full_like(sp, tmax, dtype=jnp.float32)
+        hits, _tns, entries = _expand(gt, is_node, o_r, inv_r, tmin, tlim, bvh.arity)
         keys = [h.astype(jnp.float32) for h in hits]  # compact hits first
-        _, entries_c = _sort8_desc(keys, entries)
+        _, entries_c = _sort_desc(keys, entries)
         cnt = hits[0].astype(jnp.int32)
         for h in hits[1:]:
             cnt = cnt + h.astype(jnp.int32)
@@ -348,4 +428,4 @@ def occluded(
         return (stack, sp, occ, steps + 1)
 
     out = lax.while_loop(cond, body, state)
-    return out[2].reshape(-1)
+    return out[2].reshape(-1)[:n0]

@@ -140,3 +140,64 @@ def test_single_triangle_and_empty_leaf_padding():
     out = traverse.closest_hit(bvh, o, d, 0.0, 100.0)
     assert bool(out["hit"][0]) and int(out["tri_id"][0]) == 0
     np.testing.assert_allclose(float(out["t"][0]), 5.0, atol=1e-5)
+
+
+def test_bf16_box_rounding_conservative():
+    """Packed node boxes must bracket the exact bounds: decode(lo) <= lo and
+    decode(hi) >= hi for every finite input."""
+    from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import (
+        _bf16_down_bits,
+        _bf16_up_bits,
+    )
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.uniform(-1e6, 1e6, 4096).astype(np.float32),
+        rng.normal(scale=1e-5, size=1024).astype(np.float32),
+        np.asarray([0.0, -0.0, 1.0, -1.0, 3.14159, -2.71828], np.float32),
+    ])
+    lo = _bf16_down_bits(x).view(np.float32)
+    hi = _bf16_up_bits(x).view(np.float32)
+    assert (lo <= x).all(), "down-rounding must not exceed the input"
+    assert (hi >= x).all(), "up-rounding must not undershoot the input"
+    # within one bf16 ulp (2^-8 relative) plus denormal slack
+    assert (x - lo <= np.maximum(np.abs(x) * 2**-7, 1e-37)).all()
+    assert (hi - x <= np.maximum(np.abs(x) * 2**-7, 1e-37)).all()
+
+
+def test_wide_packed_closest_hit_parity():
+    """The packed arity-16 bf16-box BVH must return exactly the oracle's
+    hits (conservative boxes only add box visits, never change results)."""
+    from fovpathtracing_optixcodelatest_tpu.ops import bvh_native, traverse8
+
+    geom, tris = _scene()
+    for arity, force_py in ((16, False), (8, False), (16, True)):
+        wb = bvh_native.build(tris, arity=arity, force_python=force_py)
+        o, d = _rand_rays(2048)
+        ref = jax.jit(
+            lambda o, d: brute_force_closest_hit(geom, o, d, 0.01, 1e16)
+        )(o, d)
+        got = jax.jit(
+            lambda o, d: traverse8.closest_hit(wb, o, d, 0.01, 1e16)
+        )(o, d)
+        hit_ref = np.asarray(ref["hit"])
+        np.testing.assert_array_equal(np.asarray(got["hit"]), hit_ref)
+        np.testing.assert_allclose(
+            np.asarray(got["t"])[hit_ref], np.asarray(ref["t"])[hit_ref],
+            rtol=1e-4, atol=1e-5,
+        )
+        same_tri = (
+            np.asarray(ref["tri_id"]) == np.asarray(got["tri_id"])
+        )[hit_ref]
+        assert same_tri.mean() > 0.99
+
+
+def test_wide_packed_occlusion_parity():
+    from fovpathtracing_optixcodelatest_tpu.ops import bvh_native, traverse8
+
+    geom, tris = _scene(seed=5)
+    wb = bvh_native.build(tris)
+    o, d = _rand_rays(2048, seed=7)
+    ref = np.asarray(brute_force_occluded(geom, o, d, 0.01, 1e16))
+    got = np.asarray(traverse8.occluded(wb, o, d, 0.01, 1e16))
+    assert (ref == got).mean() > 0.999
