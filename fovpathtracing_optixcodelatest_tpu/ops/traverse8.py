@@ -198,15 +198,29 @@ def _pop_fresh(stack, tn_stack, sp, tlimit, drains: int):
     best t): 46% of closest-hit pops are stale by pop time (measured,
     box_city), and in lockstep every stale pop costs a full iteration.
     Draining consumes stale entries at ``drains+1``/iteration so tail rays
-    spend iterations on useful pops only. Returns (entry, sp, fresh)."""
-    entry, tn, sp, has = _pop2(stack, tn_stack, sp)
-    for _ in range(drains):
-        stale = has & (tn > tlimit)
-        e2, tn2, sp2, has2 = _pop2(stack, tn_stack, sp)
-        entry = jnp.where(stale, e2, entry)
-        tn = jnp.where(stale, tn2, tn)
-        sp = jnp.where(stale, sp2, sp)
-        has = jnp.where(stale, has2, has)
+    spend iterations on useful pops only. Returns (entry, sp, fresh).
+
+    The ``drains+1`` candidate depths (sp-1, sp-2, ...) are all known before
+    any stack read, so every candidate's one-hot pick runs in ONE fused pass
+    over the (D, 8, L) stacks — one stack read total, not ``drains+1`` (the
+    stack reduction is the traversal loop's dominant VMEM traffic)."""
+    d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None, None]
+    cands = []  # (entry_j, tn_j, has_j) for candidate depth sp-1-j
+    for j in range(drains + 1):
+        onehot = d_iota == (sp - 1 - j)[None]
+        e_j = jnp.sum(jnp.where(onehot, stack, 0), axis=0)
+        tn_j = jnp.sum(jnp.where(onehot, tn_stack, 0.0), axis=0)
+        cands.append((e_j, tn_j, sp > j))
+    entry, tn, has = cands[0]
+    consumed = jnp.ones_like(sp)
+    advance = jnp.ones_like(has)  # still draining stale entries
+    for e_j, tn_j, has_j in cands[1:]:
+        advance = advance & has & (tn > tlimit)
+        entry = jnp.where(advance, e_j, entry)
+        tn = jnp.where(advance, tn_j, tn)
+        has = jnp.where(advance, has_j, has)
+        consumed = consumed + advance.astype(jnp.int32)
+    sp = jnp.maximum(sp - consumed, 0)
     fresh = has & (tn <= tlimit)
     return entry, sp, fresh
 

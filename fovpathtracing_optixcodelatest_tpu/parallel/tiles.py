@@ -33,8 +33,8 @@ from fovpathtracing_optixcodelatest_tpu.models.camera import CameraParams
 from fovpathtracing_optixcodelatest_tpu.models.scene import Scene
 from fovpathtracing_optixcodelatest_tpu.render import film
 from fovpathtracing_optixcodelatest_tpu.render.renderer import (
+    frame_wavefront,
     pass_backplate,
-    render_pass_partial,
 )
 
 AXIS = "samples"
@@ -78,14 +78,24 @@ def render_frame_sharded(
 
     def body(scene, camera, gaze_x, gaze_y, subframe, canvas, key):
         dev = jax.lax.axis_index(AXIS)
-        total_traces = jnp.zeros((), dtype=jnp.int32)
-        for i, p in enumerate(schedule.passes):
-            pass_key = jax.random.fold_in(key, i)
-            sample_ids = _device_sample_ids(p.spp, n_dev, dev)
-            rad_sum, alpha_sum, rays, traces, _aovs = render_pass_partial(
-                scene, camera, p, w, h, gaze_x, gaze_y, pass_key, config,
-                sample_ids=sample_ids,
-            )
+        # every chip traces ONE merged wavefront holding its sample slice of
+        # every pass (same merged structure as the single-chip render_frame;
+        # ray ids — and therefore RNG streams and per-ray radiance — are
+        # device-count-invariant, so the psum'd sums are bit-identical)
+        sample_ids = [
+            _device_sample_ids(p.spp, n_dev, dev) for p in schedule.passes
+        ]
+        rays_list, out, offsets = frame_wavefront(
+            scene, camera, gaze_x, gaze_y, key, config, schedule,
+            sample_ids_per_pass=sample_ids,
+        )
+        for p, rays, ofs in zip(schedule.passes, rays_list, offsets):
+            lw, lh = rays["launch"]
+            k = rays["samples_here"]
+            n_pix = lw * lh
+            n_i = n_pix * k
+            rad_sum = out["radiance"][ofs : ofs + n_i].reshape(n_pix, k, 3).sum(1)
+            alpha_sum = out["alpha"][ofs : ofs + n_i].reshape(n_pix, k, 3).sum(1)
             # assemble the full per-pixel sums over ICI
             rad_sum = jax.lax.psum(rad_sum, AXIS)
             alpha_sum = jax.lax.psum(alpha_sum, AXIS)
@@ -97,7 +107,7 @@ def render_frame_sharded(
                 canvas, accum_color, rays["ring"], p, rays["offset"],
                 subframe, pad, config.accumulate,
             )
-            total_traces = total_traces + jax.lax.psum(traces, AXIS)
+        total_traces = jax.lax.psum(out["traces"], AXIS)
         frame = film.finalize(canvas, pad, config)
         return canvas, frame, total_traces
 

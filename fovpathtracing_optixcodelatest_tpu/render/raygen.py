@@ -40,6 +40,12 @@ def pass_offset(p: FoveationPass, gaze_x, gaze_y):
     return z, z
 
 
+def pass_ray_count(p: FoveationPass, width: int, height: int) -> int:
+    """Static ray count of one pass (pixels × spp)."""
+    lw, lh = pass_launch_dims(p, width, height)
+    return lw * lh * p.spp
+
+
 def generate_pass_rays(
     camera: CameraParams,
     p: FoveationPass,
@@ -50,6 +56,7 @@ def generate_pass_rays(
     key: jnp.ndarray,
     antialias: bool = True,
     sample_ids: jnp.ndarray | None = None,
+    ray_id_base: int = 0,
 ):
     """Build the ray batch for one foveation pass.
 
@@ -57,6 +64,10 @@ def generate_pass_rays(
     generates (default all) — the hook for sample-parallel sharding: devices
     pass disjoint slices and get bit-identical rays to the unsharded call
     because jitter is keyed by global ray id (pixel·spp + sample).
+
+    ``ray_id_base`` offsets the ray ids so ids stay globally unique when
+    several passes' batches are merged into one wavefront (the RNG stream of
+    a ray is a pure function of its global id — ops/rng.py).
 
     Returns dict with origins (N,3), directions (N,3), active (N,), ray_ids
     (N,) int32, pixel ring mask (LH, LW), launch dims and offsets. Ray layout
@@ -86,7 +97,7 @@ def generate_pass_rays(
     fy = jnp.repeat(idx_y.reshape(-1).astype(jnp.float32), k)
 
     pix_ids = jnp.repeat(jnp.arange(n_pix, dtype=jnp.int32), k)
-    ray_ids = pix_ids * spp + jnp.tile(sample_ids, n_pix)
+    ray_ids = ray_id_base + pix_ids * spp + jnp.tile(sample_ids, n_pix)
 
     if antialias:
         jitter = ray_uniforms(key, ray_ids, 2)

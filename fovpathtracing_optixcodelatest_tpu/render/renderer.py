@@ -87,6 +87,61 @@ def pass_backplate(scene, camera, rays, width, height, p, gaze_x, gaze_y):
     return probe_ops.probe_eval(scene.probe, probe_ops.dir_to_uv(dirs))
 
 
+def frame_wavefront(
+    scene: Scene,
+    camera: CameraParams,
+    gaze_x,
+    gaze_y,
+    key: jnp.ndarray,
+    config: RenderConfig,
+    schedule: FoveationSchedule,
+    sample_ids_per_pass=None,
+):
+    """Generate + trace ALL foveation passes as ONE merged wavefront.
+
+    The reference renders its three ring regions as three sequential
+    optixLaunch calls (SimplePathtracer.cpp:137-209); on TPU that split is
+    pure fragmentation — a single ray batch keeps the traversal chunks full
+    and pays the per-bounce compaction once. Ray ids carry a static per-pass
+    base so every ray's RNG stream is a pure function of (frame key, pass,
+    pixel, sample) — independent of batch layout or device sharding.
+
+    ``sample_ids_per_pass`` optionally narrows each pass to a subset of its
+    sample slots (sample-parallel multi-chip sharding, parallel/tiles.py).
+    Returns (per-pass ray dicts, merged trace_paths output dict, per-pass
+    slice offsets).
+    """
+    w, h = config.width, config.height
+    jitter_key = jax.random.fold_in(key, 0)
+    path_key = jax.random.fold_in(key, 1)
+    rays_list = []
+    base = 0
+    for i, p in enumerate(schedule.passes):
+        sids = None if sample_ids_per_pass is None else sample_ids_per_pass[i]
+        rays_list.append(
+            raygen.generate_pass_rays(
+                camera, p, w, h, gaze_x, gaze_y, jitter_key,
+                antialias=config.antialias, sample_ids=sids, ray_id_base=base,
+            )
+        )
+        base += raygen.pass_ray_count(p, w, h)
+    merged = {
+        k: jnp.concatenate([r[k] for r in rays_list], axis=0)
+        for k in ("origin", "direction", "active", "ray_ids")
+    }
+    out = trace_paths(
+        scene, merged["origin"], merged["direction"], merged["active"],
+        path_key, config, ray_ids=merged["ray_ids"],
+    )
+    offsets = []
+    ofs = 0
+    for r in rays_list:
+        offsets.append(ofs)
+        lw, lh = r["launch"]
+        ofs += lw * lh * r["samples_here"]
+    return rays_list, out, offsets
+
+
 @functools.partial(jax.jit, static_argnames=("config", "schedule"))
 def render_frame(
     scene: Scene,
@@ -99,22 +154,26 @@ def render_frame(
     config: RenderConfig,
     schedule: FoveationSchedule,
 ):
-    """One full frame: all foveation passes, statically unrolled.
+    """One full frame: all foveation passes traced as one merged wavefront.
 
-    Returns (new_canvas, frame_u8 (H,W,3), stats dict). Pass order matters:
-    later (inner) passes overwrite ring overlap, exactly like the reference's
-    three sequential optixLaunch calls (SimplePathtracer.cpp:137-209).
+    Returns (new_canvas, frame_u8 (H,W,3), stats dict). Pass composite order
+    matters: later (inner) passes overwrite ring overlap, exactly like the
+    reference's three sequential optixLaunch calls
+    (SimplePathtracer.cpp:137-209).
     """
     w, h = config.width, config.height
     pad = film.schedule_padding(schedule, w, h)
-    total_traces = jnp.zeros((), dtype=jnp.int32)
+    rays_list, out, offsets = frame_wavefront(
+        scene, camera, gaze_x, gaze_y, key, config, schedule
+    )
     total_rays = 0
-
-    for i, p in enumerate(schedule.passes):
-        pass_key = jax.random.fold_in(key, i)
-        rad_sum, alpha_sum, rays, traces, _aovs = render_pass_partial(
-            scene, camera, p, w, h, gaze_x, gaze_y, pass_key, config
-        )
+    for p, rays, ofs in zip(schedule.passes, rays_list, offsets):
+        lw, lh = rays["launch"]
+        k = rays["samples_here"]
+        n_pix = lw * lh
+        n_i = n_pix * k
+        rad_sum = out["radiance"][ofs : ofs + n_i].reshape(n_pix, k, 3).sum(1)
+        alpha_sum = out["alpha"][ofs : ofs + n_i].reshape(n_pix, k, 3).sum(1)
         backplate = pass_backplate(scene, camera, rays, w, h, p, gaze_x, gaze_y)
         accum_color = film.shade_to_accum_color(
             rad_sum, alpha_sum, backplate, p.spp, rays["launch"]
@@ -123,12 +182,10 @@ def render_frame(
             canvas, accum_color, rays["ring"], p, rays["offset"],
             subframe, pad, config.accumulate,
         )
-        total_traces = total_traces + traces
-        lw, lh = rays["launch"]
-        total_rays += lw * lh * p.spp
+        total_rays += n_pix * p.spp
 
     frame = film.finalize(canvas, pad, config)
-    stats = {"traces": total_traces, "rays": jnp.asarray(total_rays)}
+    stats = {"traces": out["traces"], "rays": jnp.asarray(total_rays)}
     return canvas, frame, stats
 
 
@@ -155,18 +212,25 @@ def render_frame_aov(
     pad = film.schedule_padding(schedule, w, h)
     normal_canvas = film.new_canvas(w, h, pad)
     albedo_canvas = film.new_canvas(w, h, pad)
-    total_traces = jnp.zeros((), dtype=jnp.int32)
+    rays_list, out, offsets = frame_wavefront(
+        scene, camera, gaze_x, gaze_y, key, config, schedule
+    )
 
-    for i, p in enumerate(schedule.passes):
-        pass_key = jax.random.fold_in(key, i)
-        rad_sum, alpha_sum, rays, traces, aovs = render_pass_partial(
-            scene, camera, p, w, h, gaze_x, gaze_y, pass_key, config
-        )
+    for p, rays, ofs in zip(schedule.passes, rays_list, offsets):
+        lw, lh = rays["launch"]
+        k = rays["samples_here"]
+        n_pix = lw * lh
+        n_i = n_pix * k
+        rad_sum = out["radiance"][ofs : ofs + n_i].reshape(n_pix, k, 3).sum(1)
+        alpha_sum = out["alpha"][ofs : ofs + n_i].reshape(n_pix, k, 3).sum(1)
+        aovs = {
+            name: out[name][ofs : ofs + n_i].reshape(n_pix, k, 3).sum(1)
+            for name in ("normal", "albedo")
+        }
         backplate = pass_backplate(scene, camera, rays, w, h, p, gaze_x, gaze_y)
         accum_color = film.shade_to_accum_color(
             rad_sum, alpha_sum, backplate, p.spp, rays["launch"]
         )
-        lw, lh = rays["launch"]
         canvas = film.composite_pass(
             canvas, accum_color, rays["ring"], p, rays["offset"],
             subframe, pad, config.accumulate,
@@ -184,7 +248,6 @@ def render_frame_aov(
                     albedo_canvas, img, rays["ring"], p_overwrite,
                     rays["offset"], subframe, pad, False,
                 )
-        total_traces = total_traces + traces
 
     frame = film.finalize(canvas, pad, config)
     crop = lambda c: jax.lax.dynamic_slice(c, (pad, pad, 0), (h, w, 3))  # noqa: E731
@@ -193,7 +256,7 @@ def render_frame_aov(
         "normal": crop(normal_canvas),
         "albedo": crop(albedo_canvas),
     }
-    return canvas, frame, aov_out, {"traces": total_traces}
+    return canvas, frame, aov_out, {"traces": out["traces"]}
 
 
 class Renderer:
