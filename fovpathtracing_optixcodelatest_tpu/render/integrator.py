@@ -3,28 +3,25 @@
 Behavior twin of the reference megakernel (deviceProgram.cu __raygen__ bounce
 loop :497-534 + __closesthit__radiance :619-732 + SampleLights :303-344),
 restructured TPU-first: the whole ray batch advances one bounce at a time
-(statically unrolled — max_depth is 4); each bounce is one closest-hit
-traversal, vectorized shading (probe NEE with MIS + Disney BSDF sampling), and
-one occlusion traversal.
+under ``lax.scan`` (ONE compiled bounce body — unrolling the four bounces
+measured 520 s of XLA compile on a v5e for no runtime win); each bounce is one
+closest-hit traversal, vectorized shading (probe NEE with MIS + Disney BSDF
+sampling), and one occlusion traversal.
 
-Wavefront compaction (``config.compact_bounces``): per-ray loop state is a
-list of (N,) columns, and each bounce starts with ONE multi-operand
-``lax.sort`` keyed dead-last (stable, so ray coherence survives). Dead rays
-collapse into trailing traversal chunks whose while_loops exit immediately
-(ops/traverse8.py chunked lax.map). Occlusion rays get their own sort keyed
-on "NEE contribution provably nonzero" — light_val == 0 means the occlusion
+Traversal-local compaction (``config.compact_bounces``): the per-ray carry
+stays in ORIGINAL ray order; only the rays entering a traversal are packed
+alive-first by a small ``lax.sort`` over exactly the columns the query needs
+(key + index + origin + direction = 8 operands), and the query outputs are
+restored by a second sort keyed on the carried index. Dead rays collapse into
+trailing traversal chunks whose while_loops exit immediately
+(ops/traverse8.py chunked lax.map). Sorting the whole 25-column carry instead
+was measured at ~95 ms per bounce on a v5e (XLA lowers the payload motion to a
+column-major (N, 25) row gather — the pathological layout); the 8-operand
+sorts run at ~9 ms. Occlusion rays use the same pattern with the key extended
+by "NEE contribution provably nonzero" — light_val == 0 means the occlusion
 result cannot matter, so the query is never walked (the BSDF-below-horizon
 case kills ~half of them; the reference traces those anyway,
 deviceProgram.cu:315-321).
-
-Why multi-operand sort and not argsort+gather: a mid-graph (N, 25) matrix gets
-a column-major layout from XLA (its producers and column-slice consumers both
-prefer it), which turns a row gather into element gathers — measured 80-96 ms
-per permutation at N=1.9M against 12.5 ms for one 26-operand lax.sort. The
-same applies to (N, 3) gathers (T(4,128) layout, ~12 ms each). All compaction
-here is therefore expressed as sorts over 1-D columns; the only scatter-free
-inverse needed (un-sorting the occlusion bits) is a second 2-operand sort
-keyed by the carried original index.
 
 Reference semantics preserved exactly:
 - Environment light contributes ONLY via NEE (the miss program adds nothing,
@@ -46,7 +43,7 @@ here catcher hits on secondary rays shade normally.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -68,22 +65,60 @@ from fovpathtracing_optixcodelatest_tpu.ops.sampling import (
     face_forward,
 )
 
-# Carry column indices (each a (N,) array; sort operand order)
-_ORIGIN = (0, 1, 2)
-_DIR = (3, 4, 5)
-_THROUGHPUT = (6, 7, 8)
-_ETA = 9
-_RADIANCE = (10, 11, 12)
-_ALPHA = (13, 14, 15)
-_NORMAL = (16, 17, 18)
-_ALBEDO = (19, 20, 21)
-_ALIVE = 22  # bool
-_SLOT = 23  # i32 original batch index — final unsort key
-_RAY_ID = 24  # i32 global ray id — RNG stream key
+
+def _closest_compacted(scene, o, d, alive, config):
+    """Closest-hit with alive-first packing local to the query: one 8-operand
+    sort in, one 6-operand index-keyed sort out. The carry never moves."""
+    n = o.shape[0]
+    if not config.compact_bounces:
+        return traverse8.closest_hit(
+            scene.bvh, o, d, config.tmin, config.tmax, active=alive
+        )
+    s = lax.sort(
+        [~alive, jnp.arange(n, dtype=jnp.int32),
+         o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]],
+        num_keys=1,
+        is_stable=True,  # keep raygen's pixel-order coherence within chunks
+    )
+    hit = traverse8.closest_hit(
+        scene.bvh,
+        jnp.stack(s[2:5], axis=1),
+        jnp.stack(s[5:8], axis=1),
+        config.tmin, config.tmax,
+        active=~s[0],
+    )
+    u = lax.sort(
+        [s[1], hit["t"], hit["u"], hit["v"], hit["tri_id"], hit["hit"]],
+        num_keys=1,
+    )
+    return {
+        "t": u[1], "u": u[2], "v": u[3], "tri_id": u[4], "hit": u[5],
+        "steps": hit["steps"],
+    }
 
 
-def _v3(cols: List[jnp.ndarray], idx) -> jnp.ndarray:
-    return jnp.stack([cols[i] for i in idx], axis=1)
+def _occluded_compacted(scene, p, wi, query, config):
+    """Occlusion twin of _closest_compacted (the query mask already encodes
+    the can-this-matter test)."""
+    n = p.shape[0]
+    if not config.compact_bounces:
+        return traverse8.occluded(
+            scene.bvh, p, wi, config.tmin, config.tmax, active=query
+        )
+    s = lax.sort(
+        [~query, jnp.arange(n, dtype=jnp.int32),
+         p[:, 0], p[:, 1], p[:, 2], wi[:, 0], wi[:, 1], wi[:, 2]],
+        num_keys=1,
+        is_stable=True,
+    )
+    occ_s = traverse8.occluded(
+        scene.bvh,
+        jnp.stack(s[2:5], axis=1),
+        jnp.stack(s[5:8], axis=1),
+        config.tmin, config.tmax,
+        active=~s[0],
+    )
+    return lax.sort([s[1], occ_s], num_keys=1)[1]
 
 
 def trace_paths(
@@ -113,46 +148,31 @@ def trace_paths(
     n = origin.shape[0]
     if ray_ids is None:
         ray_ids = jnp.arange(n, dtype=jnp.int32)
+    ray_ids = ray_ids.astype(jnp.int32)
+    f3 = lambda v: jnp.full((n, 3), v, dtype=jnp.float32)  # noqa: E731
 
-    zero = jnp.zeros((n,), dtype=jnp.float32)
-    one = jnp.ones((n,), dtype=jnp.float32)
-    cols: List[jnp.ndarray] = [
-        origin[:, 0], origin[:, 1], origin[:, 2],
-        direction[:, 0], direction[:, 1], direction[:, 2],
-        one, one, one,  # throughput
-        one,  # eta
-        zero, zero, zero,  # radiance
-        zero, zero, zero,  # alpha
-        zero, zero, zero,  # normal AOV
-        zero, zero, zero,  # albedo AOV
-        active.astype(bool),
-        jnp.arange(n, dtype=jnp.int32),  # slot
-        ray_ids.astype(jnp.int32),
-    ]
-    traces = jnp.zeros((), dtype=jnp.int32)
+    carry = dict(
+        origin=origin,
+        direction=direction,
+        throughput=f3(1.0),
+        eta=jnp.ones((n,), dtype=jnp.float32),
+        radiance=f3(0.0),
+        alpha=f3(0.0),
+        normal=f3(0.0),
+        albedo=f3(0.0),
+        alive=active.astype(bool),
+        traces=jnp.zeros((), dtype=jnp.int32),
+    )
 
-    for depth in range(config.max_depth):
-        if config.compact_bounces:
-            # ONE stable dead-last sort of every carry column (at bounce 0
-            # this compacts the ring-rejected rays); alive is the key, so it
-            # rides for free as ~sorted_key
-            ops = lax.sort(
-                [~cols[_ALIVE]] + cols[: _ALIVE] + cols[_ALIVE + 1 :],
-                num_keys=1,
-                is_stable=True,
-            )
-            cols = list(ops[1:_ALIVE + 1]) + [~ops[0]] + list(ops[_ALIVE + 1:])
+    def bounce(carry, depth):
+        o = carry["origin"]
+        d = carry["direction"]
+        alive = carry["alive"]
+        eta_in = carry["eta"]
+        throughput = carry["throughput"]
+        primary = depth == 0
 
-        o = _v3(cols, _ORIGIN)
-        d = _v3(cols, _DIR)
-        alive = cols[_ALIVE]
-        eta_in = cols[_ETA]
-        rid = cols[_RAY_ID]
-        throughput = _v3(cols, _THROUGHPUT)
-
-        hit = traverse8.closest_hit(
-            scene.bvh, o, d, config.tmin, config.tmax, active=alive
-        )
+        hit = _closest_compacted(scene, o, d, alive, config)
         hit_mask = alive & hit["hit"]
         tri = jnp.maximum(hit["tri_id"], 0)
 
@@ -185,7 +205,7 @@ def trace_paths(
         out_eta = jnp.where(entering, m.eta, 1.0)
 
         # ---- NEE probe sampling with MIS (SampleLights/SampleShadow) ----
-        u_all = ray_uniforms(jax.random.fold_in(key, depth), rid, 8)
+        u_all = ray_uniforms(jax.random.fold_in(key, depth), ray_ids, 8)
         wi, sky_col, sky_pdf = probe_ops.probe_sample(
             scene.probe, u_all[:, 0], u_all[:, 1]
         )
@@ -209,45 +229,22 @@ def trace_paths(
 
         # occlusion query only where the result can matter
         occl_query = hit_mask & (jnp.max(light_val, axis=1) > 0.0)
-        if config.compact_bounces:
-            s = lax.sort(
-                [
-                    ~occl_query,
-                    jnp.arange(n, dtype=jnp.int32),
-                    p[:, 0], p[:, 1], p[:, 2],
-                    wi[:, 0], wi[:, 1], wi[:, 2],
-                ],
-                num_keys=1,
-            )
-            occ_s = traverse8.occluded(
-                scene.bvh,
-                jnp.stack(s[2:5], axis=1),
-                jnp.stack(s[5:8], axis=1),
-                config.tmin, config.tmax,
-                active=~s[0],
-            )
-            # un-sort via a second sort keyed by the carried original index
-            occ = lax.sort([s[1], occ_s], num_keys=1)[1]
-        else:
-            occ = traverse8.occluded(
-                scene.bvh, p, wi, config.tmin, config.tmax, active=occl_query
-            )
+        occ = _occluded_compacted(scene, p, wi, occl_query, config)
         nee_contrib = jnp.where((~occ)[:, None], light_val, 0.0)
         shadow_contrib = jnp.where(occ[:, None], light_val, 0.0)
 
         vert_radiance = jnp.where(
             (~is_catcher)[:, None], throughput * nee_contrib, 0.0
         )
-        alpha = _v3(cols, _ALPHA)
-        if depth == 0:
-            # emission on primary hits only (cu:696-698)
-            vert_radiance = (
-                vert_radiance + hit_mask.astype(jnp.float32)[:, None] * m.emission
-            )
+        # emission on primary hits only (cu:696-698)
+        vert_radiance = vert_radiance + jnp.where(
+            primary & hit_mask, 1.0, 0.0
+        )[:, None] * m.emission
+
         alpha = jnp.where(
             (hit_mask & ~is_catcher)[:, None],
             1.0,
-            alpha
+            carry["alpha"]
             + jnp.where(
                 (hit_mask & is_catcher)[:, None],
                 throughput * shadow_contrib,
@@ -276,58 +273,35 @@ def trace_paths(
         # contribution gate: vertex counts only if its BSDF sample succeeded
         # (DONE-before-add ordering, cu:515-527)
         contrib = jnp.where((hit_mask & sample_ok)[:, None], vert_radiance, 0.0)
-        radiance = _v3(cols, _RADIANCE) + contrib
 
-        new_o = jnp.where(hit_mask[:, None], p, o)
-        new_d = jnp.where(hit_mask[:, None], l_dir, d)
-        if depth == 0:
-            normal_aov = jnp.where(hit_mask[:, None], nrm, _v3(cols, _NORMAL))
-            albedo_aov = jnp.where(hit_mask[:, None], albedo, _v3(cols, _ALBEDO))
-        else:
-            normal_aov = _v3(cols, _NORMAL)
-            albedo_aov = _v3(cols, _ALBEDO)
+        # primary-hit AOVs
+        take_aov = primary & hit_mask
+        normal_aov = jnp.where(take_aov[:, None], nrm, carry["normal"])
+        albedo_aov = jnp.where(take_aov[:, None], albedo, carry["albedo"])
 
-        traces = (
-            traces
+        new_carry = dict(
+            origin=jnp.where(hit_mask[:, None], p, o),
+            direction=jnp.where(hit_mask[:, None], l_dir, d),
+            throughput=new_throughput,
+            eta=eta_out,
+            radiance=carry["radiance"] + contrib,
+            alpha=alpha,
+            normal=normal_aov,
+            albedo=albedo_aov,
+            alive=hit_mask & sample_ok,
+            traces=carry["traces"]
             + jnp.sum(alive.astype(jnp.int32))
-            + jnp.sum(occl_query.astype(jnp.int32))
+            + jnp.sum(occl_query.astype(jnp.int32)),
         )
-        cols = [
-            new_o[:, 0], new_o[:, 1], new_o[:, 2],
-            new_d[:, 0], new_d[:, 1], new_d[:, 2],
-            new_throughput[:, 0], new_throughput[:, 1], new_throughput[:, 2],
-            eta_out,
-            radiance[:, 0], radiance[:, 1], radiance[:, 2],
-            alpha[:, 0], alpha[:, 1], alpha[:, 2],
-            normal_aov[:, 0], normal_aov[:, 1], normal_aov[:, 2],
-            albedo_aov[:, 0], albedo_aov[:, 1], albedo_aov[:, 2],
-            hit_mask & sample_ok,
-            cols[_SLOT],
-            cols[_RAY_ID],
-        ]
+        return new_carry, None
 
-    if config.compact_bounces:
-        # undo the composed per-bounce permutations: one sort keyed by the
-        # carried original slot (unique keys — order fully determined)
-        outs = lax.sort(
-            [cols[_SLOT]]
-            + [cols[i] for i in _RADIANCE + _ALPHA + _NORMAL + _ALBEDO],
-            num_keys=1,
-        )
-        r = outs[1:]
-        radiance = jnp.stack(r[0:3], axis=1)
-        alpha = jnp.stack(r[3:6], axis=1)
-        normal = jnp.stack(r[6:9], axis=1)
-        albedo_out = jnp.stack(r[9:12], axis=1)
-    else:
-        radiance = _v3(cols, _RADIANCE)
-        alpha = _v3(cols, _ALPHA)
-        normal = _v3(cols, _NORMAL)
-        albedo_out = _v3(cols, _ALBEDO)
+    carry, _ = lax.scan(
+        bounce, carry, jnp.arange(config.max_depth, dtype=jnp.int32)
+    )
     return {
-        "radiance": radiance,
-        "alpha": alpha,
-        "normal": normal,
-        "albedo": albedo_out,
-        "traces": traces,
+        "radiance": carry["radiance"],
+        "alpha": carry["alpha"],
+        "normal": carry["normal"],
+        "albedo": carry["albedo"],
+        "traces": carry["traces"],
     }
