@@ -89,6 +89,7 @@ def main(argv=None) -> int:
     from fovpathtracing_optixcodelatest_tpu.utils import checkpoint as ckpt
     from fovpathtracing_optixcodelatest_tpu.utils.image import (
         load_hdr_probe,
+        save_image,
         save_npz_frame,
         save_png,
     )
@@ -175,7 +176,11 @@ def main(argv=None) -> int:
 
         timers.begin("display")
         if args.out and i == args.frames - 1:
-            save_png(args.out, frame[::-1])  # V-up convention: flip for display
+            # V-up convention: flip for display
+            if args.out.lower().endswith((".exr", ".pfm")):
+                save_image(args.out, renderer.linear_frame()[::-1])
+            else:
+                save_image(args.out, frame[::-1])
         timers.end("display")
         timers.frame_done()
         if tsv:

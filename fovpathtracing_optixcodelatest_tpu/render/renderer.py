@@ -352,6 +352,14 @@ class Renderer:
             raise RuntimeError("render() first")
         return np.asarray(self.last_frame)
 
+    def linear_frame(self) -> np.ndarray:
+        """Cropped linear-radiance accumulation (H, W, 3) float32 — the
+        pre-tonemap payload for EXR/PFM float output (the reference's EXR
+        path writes the float accum, sutil.cpp:571+)."""
+        p = self._pad
+        c = np.asarray(self.canvas)
+        return c[p : p + self.config.height, p : p + self.config.width, :3]
+
     @property
     def stats(self):
         return {k: int(v) for k, v in getattr(self, "_stats", {}).items()}

@@ -1,10 +1,11 @@
-"""Image IO: PNG/PPM/PFM read-write + HDR probe loading.
+"""Image IO: PNG/PPM/PFM/EXR read-write + HDR probe loading.
 
 Twin of the reference's image paths: sutil loadImage/saveImage (PPM/PNG/EXR,
 sutil.cpp:253-360,571+), the golden-image PNG dumps (02HelloRaytracing/
 main.cpp:145), and the PFM output of the BSDF visualization harness
-(Disney.cuh:431-504). EXR is replaced by PFM + NPZ (no tinyexr; PFM carries
-float radiance losslessly and NPZ round-trips full pytrees).
+(Disney.cuh:431-504). EXR (the reference's tinyexr float interchange format)
+is implemented from scratch in utils/exr.py; PFM and NPZ remain as the
+simpler float containers.
 """
 
 from __future__ import annotations
@@ -12,6 +13,25 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+
+
+def save_image(path: str, image: np.ndarray) -> None:
+    """Save by extension: .png/.ppm clip to u8; .pfm/.exr keep float;
+    .npz stores the raw array (twin of sutil::saveImage dispatch,
+    sutil.cpp:571+)."""
+    low = path.lower()
+    if low.endswith(".exr"):
+        from fovpathtracing_optixcodelatest_tpu.utils.exr import write_exr
+
+        write_exr(path, np.asarray(image, np.float32))
+    elif low.endswith(".pfm"):
+        save_pfm(path, image)
+    elif low.endswith(".ppm"):
+        save_ppm(path, image)
+    elif low.endswith(".npz"):
+        save_npz_frame(path, frame=np.asarray(image))
+    else:
+        save_png(path, image)
 
 
 def save_png(path: str, image: np.ndarray) -> None:
@@ -108,6 +128,10 @@ def load_hdr_probe(path: str) -> Optional[np.ndarray]:
         return _load_radiance_hdr(path)
     if path.lower().endswith(".pfm"):
         return load_pfm(path)
+    if path.lower().endswith(".exr"):
+        from fovpathtracing_optixcodelatest_tpu.utils.exr import read_exr
+
+        return read_exr(path)[:, :, :3]
     try:
         ldr = load_png(path)
     except Exception:  # noqa: BLE001

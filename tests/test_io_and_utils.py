@@ -204,3 +204,40 @@ def test_obj_end_to_end_through_cli(tmp_path):
     assert rc == 0 and out.exists()
     img = load_png(str(out))
     assert img.shape == (24, 32, 3) and img.max() > 0.05
+
+
+def test_exr_roundtrip_half_float_zip_none(tmp_path):
+    """EXR codec (utils/exr.py; reference twin tinyexr via sutil.cpp:253-360):
+    HALF/FLOAT x ZIP/NONE round-trips, odd sizes crossing the 16-line ZIP
+    block boundary, RGBA, and the save_image dispatcher."""
+    from fovpathtracing_optixcodelatest_tpu.utils import exr
+
+    rng = np.random.default_rng(1)
+    hdr = (rng.uniform(0, 1, (37, 21, 3)) ** 2 * 40).astype(np.float32)
+    for half in (False, True):
+        for comp in ("zip", "none"):
+            p = str(tmp_path / f"x_{half}_{comp}.exr")
+            exr.write_exr(p, hdr, half=half, compression=comp)
+            back = exr.read_exr(p)
+            if half:
+                np.testing.assert_allclose(
+                    back, hdr.astype(np.float16).astype(np.float32), rtol=1e-7
+                )
+            else:
+                np.testing.assert_allclose(back, hdr, rtol=1e-7)
+
+    # RGBA + single channel
+    rgba = rng.uniform(0, 2, (16, 16, 4)).astype(np.float32)
+    p = str(tmp_path / "a.exr")
+    exr.write_exr(p, rgba, half=False)
+    np.testing.assert_allclose(exr.read_exr(p), rgba, rtol=1e-7)
+    lum = rng.uniform(0, 2, (5, 9)).astype(np.float32)
+    p = str(tmp_path / "y.exr")
+    exr.write_exr(p, lum, half=False)
+    np.testing.assert_allclose(exr.read_exr(p)[:, :, 0], lum, rtol=1e-7)
+
+    # dispatcher + probe loader path
+    p = str(tmp_path / "d.exr")
+    img.save_image(p, hdr)
+    probe = img.load_hdr_probe(p)
+    assert probe.shape == hdr.shape
