@@ -27,6 +27,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the frame graph is expensive to build (~250 s
+    # cold on the axon tunnel, ~85 s warm — measured); cache it across runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fovtpu_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from fovpathtracing_optixcodelatest_tpu.config import (
         FoveationSchedule,
         RenderConfig,
@@ -71,14 +76,23 @@ def main() -> None:
 
     # frames chain through the accumulation canvas (true sequential
     # dependency); fetch ONE scalar at the end — the tunnel charges ~0.6s+
-    # per host transfer, which must not pollute the device-throughput metric
-    n_frames = 3
+    # per host transfer, which must not pollute the device-throughput metric.
+    # A 2-frame discard window absorbs the post-compile warmup inflation
+    # (first in-process windows measured ~25% slow, PLAN.md).
+    for i in range(2):
+        canvas, frame, stats = render_frame(
+            scene, camp, gx, gy, jnp.asarray(i + 1, jnp.int32), canvas,
+            jax.random.fold_in(key, i + 1), config, schedule,
+        )
+    _ = np.asarray(stats["traces"])
+
+    n_frames = 6
     t0 = time.perf_counter()
     traces = jnp.zeros((), jnp.int32)
     for i in range(n_frames):
         canvas, frame, stats = render_frame(
-            scene, camp, gx, gy, jnp.asarray(i + 1, jnp.int32), canvas,
-            jax.random.fold_in(key, i + 1), config, schedule,
+            scene, camp, gx, gy, jnp.asarray(i + 3, jnp.int32), canvas,
+            jax.random.fold_in(key, i + 3), config, schedule,
         )
         traces = traces + stats["traces"]
     traces = int(traces)

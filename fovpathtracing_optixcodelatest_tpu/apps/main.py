@@ -60,6 +60,9 @@ def parse_args(argv=None):
     p.add_argument("--config-json", default=None,
                    help="JSON file overriding RenderConfig fields")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sampler", default="random",
+                   choices=["random", "stratified", "blue_noise"],
+                   help="AA sample generator (sample.h's toolbox)")
     return p.parse_args(argv)
 
 
@@ -75,6 +78,15 @@ def build_schedule(spec: str):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+
+    import jax as _jax
+
+    # persistent compile cache (frame graphs are ~minutes cold; see bench.py)
+    try:
+        _jax.config.update("jax_compilation_cache_dir", "/tmp/fovtpu_tpu_cache")
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
 
     from fovpathtracing_optixcodelatest_tpu.config import RenderConfig
     from fovpathtracing_optixcodelatest_tpu.models import scenes
@@ -130,10 +142,11 @@ def main(argv=None) -> int:
     if args.config_json:
         with open(args.config_json) as fh:
             overrides = json.load(fh)
-    config = RenderConfig(
-        width=args.width, height=args.height,
-        accumulate=not args.no_accumulate, **overrides,
-    )
+    config = RenderConfig(**{
+        "width": args.width, "height": args.height,
+        "accumulate": not args.no_accumulate, "sampler": args.sampler,
+        **overrides,
+    })
     schedule = build_schedule(args.schedule)
 
     scene = build_scene(meshes, probe=probe, texture_images=textures)

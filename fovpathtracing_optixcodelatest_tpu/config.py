@@ -211,6 +211,10 @@ class RenderConfig:
     # Sort rays alive-first before each traversal so chunks of dead rays exit
     # their while_loop immediately (pairs with traverse8's chunked lax.map).
     compact_bounces: bool = True
+    # AA-jitter sample generator: "random" (the reference's shipped path,
+    # sample.h USE_RANDOM :253), "stratified" or "blue_noise" (its inactive
+    # generators, sample.h:6-214) — see ops/samplers.py.
+    sampler: str = "random"
 
     @property
     def resolution(self) -> Tuple[int, int]:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from fovpathtracing_optixcodelatest_tpu.config import FoveationPass
 from fovpathtracing_optixcodelatest_tpu.models.camera import CameraParams
-from fovpathtracing_optixcodelatest_tpu.ops.rng import ray_uniforms
+from fovpathtracing_optixcodelatest_tpu.ops.samplers import aa_jitter
 from fovpathtracing_optixcodelatest_tpu.ops.sampling import normalize
 
 
@@ -57,6 +57,7 @@ def generate_pass_rays(
     antialias: bool = True,
     sample_ids: jnp.ndarray | None = None,
     ray_id_base: int = 0,
+    sampler: str = "random",
 ):
     """Build the ray batch for one foveation pass.
 
@@ -100,7 +101,9 @@ def generate_pass_rays(
     ray_ids = ray_id_base + pix_ids * spp + jnp.tile(sample_ids, n_pix)
 
     if antialias:
-        jitter = ray_uniforms(key, ray_ids, 2)
+        jitter = aa_jitter(
+            key, ray_ids, jnp.tile(sample_ids, n_pix), spp, sampler
+        )
     else:
         jitter = jnp.full((n_pix * k, 2), 0.0)
     ndc_x = 2.0 * (fx + jitter[:, 0]) / width - 1.0

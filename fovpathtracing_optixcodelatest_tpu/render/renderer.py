@@ -55,6 +55,7 @@ def render_pass_partial(
         camera, p, width, height, gaze_x, gaze_y,
         jax.random.fold_in(pass_key, 0),
         antialias=config.antialias, sample_ids=sample_ids,
+        sampler=config.sampler,
     )
     out = trace_paths(
         scene, rays["origin"], rays["direction"], rays["active"],
@@ -122,6 +123,7 @@ def frame_wavefront(
             raygen.generate_pass_rays(
                 camera, p, w, h, gaze_x, gaze_y, jitter_key,
                 antialias=config.antialias, sample_ids=sids, ray_id_base=base,
+                sampler=config.sampler,
             )
         )
         base += raygen.pass_ray_count(p, w, h)

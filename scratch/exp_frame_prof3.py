@@ -1,6 +1,8 @@
 import dataclasses, os, sys, time
 import numpy as np
 import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/fovtpu_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from fovpathtracing_optixcodelatest_tpu.config import FoveationSchedule, RenderConfig
 from fovpathtracing_optixcodelatest_tpu.models import scenes
 from fovpathtracing_optixcodelatest_tpu.models.probe import gradient_sky_probe
