@@ -63,6 +63,11 @@ def parse_args(argv=None):
     p.add_argument("--sampler", default="random",
                    choices=["random", "stratified", "blue_noise"],
                    help="AA sample generator (sample.h's toolbox)")
+    p.add_argument("--viewer", action="store_true",
+                   help="serve the interactive browser viewer (cursor = "
+                        "gaze, drag = orbit, wheel = zoom) instead of the "
+                        "batch frame loop")
+    p.add_argument("--viewer-port", type=int, default=8000)
     return p.parse_args(argv)
 
 
@@ -159,6 +164,15 @@ def main(argv=None) -> int:
     renderer.set_camera(cam)
     if args.resume:
         ckpt.resume_renderer(renderer, args.resume)
+
+    if args.viewer:
+        from fovpathtracing_optixcodelatest_tpu.apps import viewer as viewer_mod
+        from fovpathtracing_optixcodelatest_tpu.models.camera import Trackball
+
+        tb = Trackball(camera=cam)
+        tb.reinitialize_from_camera()
+        viewer_mod.serve(renderer, tb, port=args.viewer_port)
+        return 0
 
     timers = FrameTimers()
     tsv = TsvLogger(args.tsv) if args.tsv else None

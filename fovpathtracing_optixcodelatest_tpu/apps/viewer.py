@@ -1,0 +1,214 @@
+"""Interactive web viewer: live gaze-contingent rendering in a browser.
+
+The reference is an interactive GLFW application — cursor position is the
+gaze point (main.cpp:352-368), mouse drag orbits the trackball camera
+(main.cpp:56-130), and the render/display/stats loop runs per frame
+(main.cpp:347-481) with the frame blitted by GLDisplay. A TPU host has no
+GL stack or window system, so the display path is a built-in HTTP server:
+
+- ``/``        an HTML canvas page; JS forwards cursor moves (gaze), drags
+               (orbit), and wheel (zoom) back to the host.
+- ``/stream``  MJPEG (multipart/x-mixed-replace) of the progressive frames —
+               the GLDisplay-equivalent blit, one JPEG per rendered frame.
+- ``/input``   input events, applied to the render loop's shared state.
+- ``/stats``   the ImGui overlay twin (sutil::displayStats, sutil.cpp:763-
+               801) as JSON: fps, per-phase ms, gaze, subframe index.
+
+The render loop (serve()) runs in the main thread exactly like the
+reference's: state update (gaze/camera), render, display (JPEG encode),
+accumulation reset on camera change (main.cpp:402-407 via
+Renderer.set_camera).
+
+Run: python -m fovpathtracing_optixcodelatest_tpu.apps.main --viewer
+     [--viewer-port 8000] --scene cornell --width 240 --height 136
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>fovPathTracing TPU viewer</title><style>
+ body { background:#111; color:#ddd; font-family:monospace; margin:1em }
+ #view { image-rendering:pixelated; cursor:crosshair; border:1px solid #444 }
+ #stats { margin-top:0.5em; white-space:pre }
+</style></head><body>
+<div>gaze follows the cursor &middot; drag = orbit &middot; wheel = zoom</div>
+<img id="view" src="/stream">
+<div id="stats"></div>
+<script>
+const img = document.getElementById('view');
+let drag = false, lx = 0, ly = 0, scale = () => img.width / %WIDTH%;
+function send(q) { fetch('/input?' + q).catch(() => {}); }
+img.onmousemove = (e) => {
+  const r = img.getBoundingClientRect();
+  const x = Math.round((e.clientX - r.left) / scale());
+  const y = Math.round((e.clientY - r.top) / scale());
+  if (drag) { send(`dx=${e.clientX - lx}&dy=${e.clientY - ly}`); }
+  else { send(`gx=${x}&gy=${y}`); }
+  lx = e.clientX; ly = e.clientY;
+};
+img.onmousedown = (e) => { drag = true; lx = e.clientX; ly = e.clientY;
+                           e.preventDefault(); };
+window.onmouseup = () => { drag = false; };
+img.onwheel = (e) => { send('zoom=' + (e.deltaY > 0 ? 1 : -1));
+                       e.preventDefault(); };
+img.ondragstart = () => false;
+setInterval(async () => {
+  try { const s = await (await fetch('/stats')).json();
+        document.getElementById('stats').textContent =
+          `fps: ${s.fps.toFixed(2)}  render: ${s.render_ms.toFixed(0)} ms  ` +
+          `gaze: ${s.gaze[0]},${s.gaze[1]}  subframe: ${s.subframe}`;
+  } catch (e) {}
+}, 500);
+</script></body></html>"""
+
+
+class ViewerState:
+    """Input/output shared between the HTTP threads and the render loop."""
+
+    def __init__(self, width: int, height: int):
+        self.lock = threading.Lock()
+        self.gaze = (width // 2, height // 2)
+        self.orbit_dx = 0.0
+        self.orbit_dy = 0.0
+        self.zoom_ticks = 0
+        self.frame_jpeg: bytes | None = None
+        self.frame_event = threading.Event()
+        self.stats = {"fps": 0.0, "render_ms": 0.0, "gaze": self.gaze,
+                      "subframe": 0}
+        self.running = True
+        self.width = width
+        self.height = height
+
+    def take_input(self):
+        with self.lock:
+            dx, dy, z = self.orbit_dx, self.orbit_dy, self.zoom_ticks
+            self.orbit_dx = self.orbit_dy = 0.0
+            self.zoom_ticks = 0
+            return self.gaze, dx, dy, z
+
+    def put_frame(self, rgb_u8: np.ndarray):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(rgb_u8).save(buf, "JPEG", quality=88)
+        with self.lock:
+            self.frame_jpeg = buf.getvalue()
+        self.frame_event.set()
+        self.frame_event.clear()
+
+
+def _make_handler(state: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silent server
+            pass
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            url = urlparse(self.path)
+            if url.path == "/":
+                body = _PAGE.replace("%WIDTH%", str(state.width)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/input":
+                q = parse_qs(url.query)
+                with state.lock:
+                    if "gx" in q and "gy" in q:
+                        gx = max(0, min(state.width - 1, int(q["gx"][0])))
+                        gy = max(0, min(state.height - 1, int(q["gy"][0])))
+                        # browser y is top-down; film is bottom-up (V-up)
+                        state.gaze = (gx, state.height - 1 - gy)
+                    if "dx" in q:
+                        state.orbit_dx += float(q["dx"][0])
+                    if "dy" in q:
+                        state.orbit_dy += float(q["dy"][0])
+                    if "zoom" in q:
+                        state.zoom_ticks += int(q["zoom"][0])
+                self.send_response(204)
+                self.end_headers()
+            elif url.path == "/stats":
+                with state.lock:
+                    body = json.dumps(state.stats).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/stream":
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame",
+                )
+                self.end_headers()
+                try:
+                    while state.running:
+                        state.frame_event.wait(timeout=2.0)
+                        with state.lock:
+                            jpeg = state.frame_jpeg
+                        if jpeg is None:
+                            continue
+                        self.wfile.write(b"--frame\r\n")
+                        self.wfile.write(b"Content-Type: image/jpeg\r\n")
+                        self.wfile.write(
+                            f"Content-Length: {len(jpeg)}\r\n\r\n".encode()
+                        )
+                        self.wfile.write(jpeg)
+                        self.wfile.write(b"\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None):
+    """The interactive render loop (main.cpp:347-481 twin). Blocks; renders
+    continuously, gaze from the cursor, orbit/zoom from drags. ``max_frames``
+    bounds the loop for tests."""
+    state = ViewerState(renderer.config.width, renderer.config.height)
+    server = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(state))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    print(f"viewer: http://localhost:{port}/  (ctrl-c to stop)")
+
+    frames = 0
+    t_fps = time.perf_counter()
+    try:
+        while state.running and (max_frames is None or frames < max_frames):
+            gaze, dx, dy, zoom = state.take_input()
+            if dx or dy:
+                renderer.set_camera(trackball.orbit(dx, dy))
+            for _ in range(abs(zoom)):
+                renderer.set_camera(trackball.zoom(1 if zoom > 0 else -1))
+            t0 = time.perf_counter()
+            frame = renderer.render(gaze=gaze)
+            render_ms = (time.perf_counter() - t0) * 1e3
+            state.put_frame(frame[::-1])  # V-up film -> display orientation
+            frames += 1
+            dt = time.perf_counter() - t_fps
+            with state.lock:
+                state.stats = {
+                    "fps": frames / dt if dt > 0 else 0.0,
+                    "render_ms": render_ms,
+                    "gaze": list(gaze),
+                    "subframe": renderer.subframe,
+                }
+    except KeyboardInterrupt:
+        pass
+    finally:
+        state.running = False
+        server.shutdown()
+    return frames

