@@ -215,6 +215,10 @@ class RenderConfig:
     # sample.h USE_RANDOM :253), "stratified" or "blue_noise" (its inactive
     # generators, sample.h:6-214) — see ops/samplers.py.
     sampler: str = "random"
+    # Bounded rounds of the shadow-catcher secondary-ray pass-through
+    # (deviceProgram.cu:646-651 re-traces with --depth, unbounded there);
+    # 0 disables. Only compiled in when the scene has a catcher material.
+    catcher_passthrough: int = 2
 
     @property
     def resolution(self) -> Tuple[int, int]:

@@ -96,6 +96,11 @@ class MaterialTable:
     bump: jnp.ndarray
     flags: jnp.ndarray  # (M,) int32
     packed: jnp.ndarray  # (M, 24) f32 (flags bitcast into column 22)
+    # static build-time fact: does ANY material carry the shadow-catcher
+    # flag? Gates the integrator's catcher pass-through rounds so
+    # catcher-free scenes pay zero traversal work for them (meta field —
+    # part of the jit cache key, not the pytree data).
+    has_catcher: bool = False
 
     @property
     def num_materials(self) -> int:
@@ -128,7 +133,10 @@ class MaterialTable:
             packed[:, 9 + j] = kw[f]
         packed[:, 22] = kw["flags"].view(np.float32)
         kw["packed"] = packed
-        return MaterialTable(**jax.device_put(kw))
+        has_catcher = bool(
+            np.any((kw["flags"] & MATERIAL_FLAG_SHADOW_CATCHER) != 0)
+        )
+        return MaterialTable(**jax.device_put(kw), has_catcher=has_catcher)
 
     def gather(self, ids: jnp.ndarray) -> "MaterialTable":
         """Per-ray material parameters via ONE packed-row gather."""
@@ -145,11 +153,15 @@ class MaterialTable:
             kw[f] = g[:, 9 + j]
         kw["flags"] = _jax.lax.bitcast_convert_type(g[:, 22], jnp.int32)
         kw["packed"] = g
-        return MaterialTable(**kw)
+        return MaterialTable(**kw, has_catcher=self.has_catcher)
 
 
 jax.tree_util.register_dataclass(
     MaterialTable,
-    data_fields=[f.name for f in dataclasses.fields(MaterialTable)],
-    meta_fields=[],
+    data_fields=[
+        f.name
+        for f in dataclasses.fields(MaterialTable)
+        if f.name != "has_catcher"
+    ],
+    meta_fields=["has_catcher"],
 )

@@ -36,9 +36,13 @@ Reference semantics preserved exactly:
   absorption is tracked but never applied — same as the reference.
 - MIS weight: csky=cbsdf=0.5 ⇒ weight = skyPdf/(bsdfPdf+skyPdf) (:326-339).
 
-Deviation (documented): the reference's shadow-catcher *pass-through* for
-secondary rays (:646-651) decrements depth and re-traces, which is unbounded;
-here catcher hits on secondary rays shade normally.
+Shadow-catcher pass-through (:646-651): a catcher hit on a secondary ray is
+transparent — the reference re-traces from the hit point along the same
+direction and refunds the bounce (--depth), which is unbounded. Here the
+re-trace runs as ``config.catcher_passthrough`` bounded rounds inside the
+same bounce (a fori_loop over the one compiled traversal, active only for
+catcher-pass rays), gated statically on ``scene.materials.has_catcher`` so
+catcher-free scenes compile and pay nothing for it.
 """
 
 from __future__ import annotations
@@ -173,6 +177,44 @@ def trace_paths(
         primary = depth == 0
 
         hit = _closest_compacted(scene, o, d, alive, config)
+
+        if scene.materials.has_catcher and config.catcher_passthrough > 0:
+            # catcher pass-through (cu:646-651): on secondary rays a catcher
+            # hit is transparent — re-trace from the hit point, same
+            # direction, bounce refunded. Bounded rounds; one compiled
+            # traversal body (fori_loop).
+            def _is_pass(o_eff, h):
+                tri_p = jnp.maximum(h["tri_id"], 0)
+                mid = lax.bitcast_convert_type(
+                    jnp.take(scene.geom.tri_pack[:, 9], tri_p), jnp.int32
+                )
+                fl = jnp.take(
+                    scene.materials.flags,
+                    jnp.clip(mid, 0, scene.materials.num_materials - 1),
+                )
+                catch = (fl & MATERIAL_FLAG_SHADOW_CATCHER) != 0
+                return alive & h["hit"] & catch & (depth > 0)
+
+            def _pt_round(_, st):
+                o_eff, h, extra = st
+                thru = _is_pass(o_eff, h)
+                p_hit = o_eff + h["t"][:, None] * d
+                o2 = jnp.where(thru[:, None], p_hit, o_eff)
+                h2 = _closest_compacted(scene, o2, d, thru, config)
+                merged = {
+                    k: jnp.where(thru, h2[k], h[k])
+                    for k in ("t", "u", "v", "tri_id", "hit")
+                }
+                merged["steps"] = h["steps"] + h2["steps"]
+                return o2, merged, extra + jnp.sum(thru.astype(jnp.int32))
+
+            o, hit, pt_traces = lax.fori_loop(
+                0, config.catcher_passthrough, _pt_round,
+                (o, hit, jnp.zeros((), jnp.int32)),
+            )
+        else:
+            pt_traces = jnp.zeros((), jnp.int32)
+
         hit_mask = alive & hit["hit"]
         tri = jnp.maximum(hit["tri_id"], 0)
 
@@ -291,7 +333,8 @@ def trace_paths(
             alive=hit_mask & sample_ok,
             traces=carry["traces"]
             + jnp.sum(alive.astype(jnp.int32))
-            + jnp.sum(occl_query.astype(jnp.int32)),
+            + jnp.sum(occl_query.astype(jnp.int32))
+            + pt_traces,
         )
         return new_carry, None
 

@@ -143,3 +143,54 @@ def test_save_gif(tmp_path):
     p = tmp_path / "t.gif"
     save_gif(str(p), frames, fps=5)
     assert p.exists() and p.stat().st_size > 100
+
+
+def test_shadow_catcher_secondary_passthrough():
+    """Secondary rays pass THROUGH catcher geometry (deviceProgram.cu:646-651:
+    re-trace from the hit point, bounce refunded). A 45-degree mirror turns
+    primary rays horizontal through a huge catcher wall; a lit diffuse wall
+    sits beyond it. With pass-through the bounce reaches the diffuse wall and
+    collects NEE radiance; without it the catcher swallows the vertex."""
+    s2 = 1.0 / np.sqrt(2.0)
+    e1 = np.array([0.0, 0.0, 1.0])
+    e2 = np.array([s2, -s2, 0.0])
+    c = [tuple(5 * (a * e1 + b * e2)) for a, b in
+         ((-1, -1), (1, -1), (1, 1), (-1, 1))]
+    mirror = make_quad(c[0], c[1], c[2], c[3],
+                       Material(color=(1, 1, 1), metallic=1.0, roughness=0.01,
+                                specular=1.0, transmission=0.0))
+    # small plate: intercepts the reflected beam but occludes little of the
+    # lit wall's NEE hemisphere
+    catcher_wall = make_quad((5, -1.5, -1.5), (5, 1.5, -1.5), (5, 1.5, 1.5),
+                             (5, -1.5, 1.5),
+                             Material(color=(1, 1, 1), roughness=1.0,
+                                      flags=MATERIAL_FLAG_SHADOW_CATCHER))
+    lit_wall = make_quad((8, -10, -10), (8, 10, -10), (8, 10, 10),
+                         (8, -10, 10),
+                         Material(color=(1, 1, 1), roughness=1.0,
+                                  metallic=0.0, specular=0.0))
+    scene = build_scene([mirror, catcher_wall, lit_wall],
+                        probe=constant_probe((2.0, 2.0, 2.0)))
+    assert scene.materials.has_catcher
+
+    n = 256
+    rng = np.random.default_rng(3)
+    o = np.stack([rng.uniform(-1, 1, n), np.full(n, 10.0),
+                  rng.uniform(-1, 1, n)], 1).astype(np.float32)
+    d = np.tile([[0.0, -1.0, 0.0]], (n, 1)).astype(np.float32)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    act = jnp.ones(n, dtype=bool)
+    key = jax.random.PRNGKey(1)
+
+    out_pt = trace_paths(scene, o, d, act, key,
+                         dataclasses.replace(CFG, catcher_passthrough=2))
+    out_no = trace_paths(scene, o, d, act, key,
+                         dataclasses.replace(CFG, catcher_passthrough=0))
+    r_pt = float(np.asarray(out_pt["radiance"]).mean())
+    r_no = float(np.asarray(out_no["radiance"]).mean())
+    assert np.isfinite(r_pt) and np.isfinite(r_no)
+    # pass-through reaches the lit wall behind the catcher: its NEE adds on
+    # top of the ~1.0 the mirror's own NEE contributes in both modes
+    assert r_pt - r_no > 0.2 and r_pt > 1.2 * r_no, (r_pt, r_no)
+    # the re-trace queries are counted in the traces metric
+    assert int(out_pt["traces"]) > int(out_no["traces"])
