@@ -31,6 +31,12 @@ def run_config(scene, cam, config, schedule, frames: int, seed: int = 0):
     from fovpathtracing_optixcodelatest_tpu.render import film
     from fovpathtracing_optixcodelatest_tpu.render.renderer import render_frame
 
+    try:  # persistent compile cache (see bench.py)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/fovtpu_tpu_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001
+        pass
+
     w, h = config.width, config.height
     camp = dataclasses.replace(cam, aspect=w / h).device_params()
     pad = film.schedule_padding(schedule, w, h)
