@@ -219,6 +219,10 @@ class RenderConfig:
     # (deviceProgram.cu:646-651 re-traces with --depth, unbounded there);
     # 0 disables. Only compiled in when the scene has a catcher material.
     catcher_passthrough: int = 2
+    # Intersection backend: "bvh" (ops/traverse8, the fast path) or "oracle"
+    # (ops/intersect brute force — the independent ground-truth intersector
+    # for the SSIM north-star harness; O(rays x tris), small scenes only).
+    traversal: str = "bvh"
 
     @property
     def resolution(self) -> Tuple[int, int]:

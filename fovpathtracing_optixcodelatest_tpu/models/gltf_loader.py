@@ -6,8 +6,10 @@ foveated renderer never calls. Supports the subset that matters for static
 triangle scenes:
 
 - .gltf (JSON + external/in-line base64 .bin) and .glb containers
-- node hierarchy with TRS / matrix transforms (flattened into world space —
-  the TPU scene is a single GAS-equivalent pool, no instancing layer yet)
+- node hierarchy with TRS / matrix transforms; nodes sharing a mesh share
+  its geometry through the instance layer (models/instance.py — the
+  per-mesh GAS + IAS analog, Scene.h:113-115). ``load_gltf`` flattens to
+  the world-space pool; ``load_gltf_instanced`` exposes the table.
 - triangle primitives: POSITION / NORMAL / TEXCOORD_0 accessors (+ indices,
   u8/u16/u32), strides respected
 - pbrMetallicRoughness materials: baseColorFactor/-Texture, metallic/
@@ -152,7 +154,22 @@ def _load_images(doc: dict, bufs: List[bytes], base: str) -> List[Optional[np.nd
 
 
 def load_gltf(path: str) -> Tuple[List[HostMesh], List[np.ndarray]]:
-    """Load a .gltf/.glb file; returns (meshes, texture_images)."""
+    """Load a .gltf/.glb file; returns (world-space meshes, texture_images).
+
+    Convenience wrapper over :func:`load_gltf_instanced` + flatten."""
+    scene = load_gltf_instanced(path)
+    return scene.flatten(), scene.textures
+
+
+def load_gltf_instanced(path: str) -> "InstancedScene":
+    """Load a .gltf/.glb into unique object-space meshes + an instance table
+    (the Scene.h:113-115 per-mesh-GAS + IAS layout; models/instance.py).
+    Nodes sharing a glTF mesh share its geometry instead of duplicating it."""
+    from fovpathtracing_optixcodelatest_tpu.models.instance import (
+        Instance,
+        InstancedScene,
+    )
+
     base = os.path.dirname(os.path.abspath(path))
     glb_bin: Optional[bytes] = None
     if path.lower().endswith(".glb"):
@@ -178,25 +195,29 @@ def load_gltf(path: str) -> Tuple[List[HostMesh], List[np.ndarray]]:
     bufs = _load_buffers(doc, base, glb_bin)
     images = _load_images(doc, bufs, base)
 
-    meshes: List[HostMesh] = []
+    unique: List[HostMesh] = []
+    instances: List[Instance] = []
     textures: List[np.ndarray] = []
     tex_remap: Dict[int, int] = {}
+    mesh_cache: Dict[int, Tuple[int, ...]] = {}  # glTF mesh -> unique ids
 
-    def emit(mesh_idx: int, world: np.ndarray) -> None:
+    def build_unique(mesh_idx: int) -> Tuple[int, ...]:
+        """Object-space HostMesh per triangle primitive, built once per glTF
+        mesh (the per-mesh GAS analog)."""
+        if mesh_idx in mesh_cache:
+            return mesh_cache[mesh_idx]
         mesh = doc["meshes"][mesh_idx]
-        nrm_mat = np.linalg.inv(world[:3, :3]).T
+        ids = []
         for prim in mesh.get("primitives", []):
             if prim.get("mode", 4) != 4:  # triangles only
                 continue
             attrs = prim["attributes"]
-            pos = _read_accessor(doc, bufs, attrs["POSITION"]).astype(np.float64)
-            pos = pos @ world[:3, :3].T + world[:3, 3]
+            pos = _read_accessor(doc, bufs, attrs["POSITION"]).astype(np.float32)
             normal = None
             if "NORMAL" in attrs:
-                normal = _read_accessor(doc, bufs, attrs["NORMAL"]).astype(np.float64)
-                normal = normal @ nrm_mat.T
-                norms = np.linalg.norm(normal, axis=1, keepdims=True)
-                normal = (normal / np.maximum(norms, 1e-12)).astype(np.float32)
+                normal = _read_accessor(doc, bufs, attrs["NORMAL"]).astype(
+                    np.float32
+                )
             texcoord = None
             if "TEXCOORD_0" in attrs:
                 texcoord = _read_accessor(doc, bufs, attrs["TEXCOORD_0"]).astype(
@@ -214,9 +235,10 @@ def load_gltf(path: str) -> Tuple[List[HostMesh], List[np.ndarray]]:
                     tex_remap[tex_source] = len(textures)
                     textures.append(images[tex_source])
                 tex_id = tex_remap[tex_source]
-            meshes.append(
+            ids.append(len(unique))
+            unique.append(
                 HostMesh(
-                    vertex=pos.astype(np.float32),
+                    vertex=pos,
                     index=index,
                     normal=normal,
                     texcoord=texcoord,
@@ -224,12 +246,16 @@ def load_gltf(path: str) -> Tuple[List[HostMesh], List[np.ndarray]]:
                     diffuse_texture_id=tex_id,
                 )
             )
+        mesh_cache[mesh_idx] = tuple(ids)
+        return mesh_cache[mesh_idx]
 
     def walk(node_idx: int, parent: np.ndarray) -> None:
         node = doc["nodes"][node_idx]
         world = parent @ _node_matrix(node)
         if "mesh" in node:
-            emit(node["mesh"], world)
+            ids = build_unique(node["mesh"])
+            if ids:
+                instances.append(Instance(mesh_ids=ids, transform=world))
         for c in node.get("children", []):
             walk(c, world)
 
@@ -238,7 +264,9 @@ def load_gltf(path: str) -> Tuple[List[HostMesh], List[np.ndarray]]:
     roots = scenes_list[scene_idx].get("nodes", [])
     for r in roots:
         walk(r, np.eye(4))
-    if not meshes:  # no scene graph: emit all meshes untransformed
+    if not instances:  # no scene graph: instance all meshes untransformed
         for i in range(len(doc.get("meshes", []))):
-            emit(i, np.eye(4))
-    return meshes, textures
+            ids = build_unique(i)
+            if ids:
+                instances.append(Instance(mesh_ids=ids, transform=np.eye(4)))
+    return InstancedScene(unique=unique, instances=instances, textures=textures)

@@ -60,6 +60,7 @@ from fovpathtracing_optixcodelatest_tpu.models.material import (
 from fovpathtracing_optixcodelatest_tpu.models.scene import Scene
 from fovpathtracing_optixcodelatest_tpu.models.texture import sample_bilinear_wrap
 from fovpathtracing_optixcodelatest_tpu.ops import bsdf as bsdf_ops
+from fovpathtracing_optixcodelatest_tpu.ops import intersect
 from fovpathtracing_optixcodelatest_tpu.ops import probe_sampling as probe_ops
 from fovpathtracing_optixcodelatest_tpu.ops import traverse8
 from fovpathtracing_optixcodelatest_tpu.ops.rng import ray_uniforms
@@ -74,6 +75,13 @@ def _closest_compacted(scene, o, d, alive, config):
     """Closest-hit with alive-first packing local to the query: one 8-operand
     sort in, one 6-operand index-keyed sort out. The carry never moves."""
     n = o.shape[0]
+    if config.traversal == "oracle":
+        out = intersect.brute_force_closest_hit(
+            scene.geom, o, d, config.tmin, config.tmax
+        )
+        out["hit"] = out["hit"] & alive
+        out["steps"] = jnp.zeros((), jnp.int32)
+        return out
     if not config.compact_bounces:
         return traverse8.closest_hit(
             scene.bvh, o, d, config.tmin, config.tmax, active=alive
@@ -105,6 +113,10 @@ def _occluded_compacted(scene, p, wi, query, config):
     """Occlusion twin of _closest_compacted (the query mask already encodes
     the can-this-matter test)."""
     n = p.shape[0]
+    if config.traversal == "oracle":
+        return intersect.brute_force_occluded(
+            scene.geom, p, wi, config.tmin, config.tmax
+        ) & query
     if not config.compact_bounces:
         return traverse8.occluded(
             scene.bvh, p, wi, config.tmin, config.tmax, active=query

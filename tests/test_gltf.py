@@ -113,3 +113,89 @@ def test_gltf_renders(tmp_path):
     frame = np.asarray(simple.raycast(scene, cam.device_params(), 32, 32,
                                       light_pos=(2, 1, 5)))
     assert frame.max() > 20  # the triangle is visible
+
+
+def test_instancing_shares_geometry(tmp_path):
+    """Three nodes referencing ONE mesh → 1 unique mesh, 3 instances
+    (Scene.h:113-115 per-mesh GAS + IAS analog); flatten() places each
+    by its own transform."""
+    from fovpathtracing_optixcodelatest_tpu.models.gltf_loader import (
+        load_gltf_instanced,
+    )
+
+    doc, blob = _tri_gltf_doc()
+    doc["nodes"] = [
+        {"mesh": 0, "translation": [0.0, 0.0, 0.0]},
+        {"mesh": 0, "translation": [5.0, 0.0, 0.0]},
+        {"mesh": 0, "scale": [2.0, 2.0, 2.0], "translation": [0.0, 7.0, 0.0]},
+    ]
+    doc["scenes"] = [{"nodes": [0, 1, 2]}]
+    doc["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64,"
+        + base64.b64encode(blob).decode()
+    )
+    p = tmp_path / "inst.gltf"
+    p.write_text(json.dumps(doc))
+
+    scene = load_gltf_instanced(str(p))
+    assert len(scene.unique) == 1
+    assert len(scene.instances) == 3
+    assert scene.num_unique_triangles == 1
+    assert scene.num_world_triangles == 3
+
+    flat = scene.flatten()
+    assert len(flat) == 3
+    # instance 1: translated by +5x
+    np.testing.assert_allclose(
+        flat[1].vertex, flat[0].vertex + [5.0, 0.0, 0.0], atol=1e-6
+    )
+    # instance 2: scaled 2x then translated; normals stay unit length
+    np.testing.assert_allclose(
+        flat[2].vertex, flat[0].vertex * 2.0 + [0.0, 7.0, 0.0], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.linalg.norm(flat[2].normal, axis=1), 1.0, atol=1e-6
+    )
+
+    # IAS-update analog: move instance 1 and re-flatten — unique untouched
+    m = np.eye(4)
+    m[0, 3] = -3.0
+    scene.replace_transform(1, m)
+    flat2 = scene.flatten()
+    np.testing.assert_allclose(
+        flat2[1].vertex, flat[0].vertex + [-3.0, 0.0, 0.0], atol=1e-6
+    )
+    assert len(scene.unique) == 1
+
+
+def test_instanced_scene_renders(tmp_path):
+    """flatten() output feeds build_scene like any mesh list."""
+    from fovpathtracing_optixcodelatest_tpu.models.gltf_loader import (
+        load_gltf_instanced,
+    )
+    from fovpathtracing_optixcodelatest_tpu.models.scene import build_scene
+    from fovpathtracing_optixcodelatest_tpu.ops import traverse8
+
+    import jax.numpy as jnp
+
+    doc, blob = _tri_gltf_doc()
+    doc["nodes"] = [
+        {"mesh": 0},
+        {"mesh": 0, "translation": [3.0, 0.0, 0.0]},
+    ]
+    doc["scenes"] = [{"nodes": [0, 1]}]
+    doc["buffers"][0]["uri"] = (
+        "data:application/octet-stream;base64,"
+        + base64.b64encode(blob).decode()
+    )
+    p = tmp_path / "inst2.gltf"
+    p.write_text(json.dumps(doc))
+    sc = load_gltf_instanced(str(p))
+    scene = build_scene(sc.flatten(), texture_images=sc.textures)
+    assert scene.num_triangles == 2
+    # a ray down +z through each copy hits it
+    o = jnp.asarray([[0.3, 0.3, 2.0], [3.3, 0.3, 2.0], [6.3, 0.3, 2.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 3)
+    out = traverse8.closest_hit(scene.bvh, o, d, 1e-3, 1e9)
+    assert bool(out["hit"][0]) and bool(out["hit"][1])
+    assert not bool(out["hit"][2])
