@@ -286,6 +286,34 @@ def _chunked(impl, bvh, origin, direction, active, chunk):
     return flat
 
 
+def _chunked_seeded(bvh, origin, direction, active, t_seed, tmin, tmax,
+                    max_steps, chunk):
+    """_chunked variant that also slices the per-ray t_seed."""
+    n = origin.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
+        active = jnp.pad(active, (0, pad))
+        t_seed = jnp.pad(t_seed, (0, pad), constant_values=jnp.inf)
+    c = (n + pad) // chunk
+    outs = jax.lax.map(
+        lambda args: closest_hit(
+            bvh, args[0], args[1], tmin, tmax, active=args[2],
+            max_steps=max_steps, chunk=None, t_seed=args[3],
+        ),
+        (
+            origin.reshape(c, chunk, 3),
+            direction.reshape(c, chunk, 3),
+            active.reshape(c, chunk),
+            t_seed.reshape(c, chunk),
+        ),
+    )
+    flat = {k: v.reshape(-1)[:n] for k, v in outs.items() if k != "steps"}
+    flat["steps"] = jnp.sum(outs["steps"])
+    return flat
+
+
 def closest_hit(
     bvh: WideBVH,
     origin: jnp.ndarray,
@@ -295,29 +323,50 @@ def closest_hit(
     active=None,
     max_steps: int = 100_000,
     chunk: int | None = DEFAULT_CHUNK,
+    t_seed: jnp.ndarray | None = None,
 ):
     """Closest-hit query. Returns dict(t, tri_id, u, v, hit, steps) of (N,)
-    arrays — same contract as traverse.closest_hit."""
+    arrays — same contract as traverse.closest_hit.
+
+    ``t_seed`` (N,) optionally seeds the per-ray t-limit with a known upper
+    bound on the closest hit (any t of ANY hit is valid): subtrees beyond it
+    are culled from the first pop. Seeded rays that find nothing closer
+    report miss — callers that seed from a real hit must treat that as
+    "the seed was the hit"."""
     n0 = origin.shape[0]
     if active is None:
         active = jnp.ones((n0,), dtype=bool)
     if chunk is not None and n0 > chunk:
-        return _chunked(
-            lambda b, o, d, a: closest_hit(
-                b, o, d, tmin, tmax, active=a, max_steps=max_steps, chunk=None
-            ),
-            bvh, origin, direction, active, chunk,
+        if t_seed is None:
+            return _chunked(
+                lambda b, o, d, a: closest_hit(
+                    b, o, d, tmin, tmax, active=a, max_steps=max_steps,
+                    chunk=None
+                ),
+                bvh, origin, direction, active, chunk,
+            )
+        return _chunked_seeded(
+            bvh, origin, direction, active, t_seed, tmin, tmax, max_steps,
+            chunk,
         )
     origin, direction, active, n0 = _pad_rays(origin, direction, active)
     n = origin.shape[0]
     l = n // SUB
     o_r, d_r, inv_r = _ray_tiles(origin, direction, l)
 
+    if t_seed is None:
+        t0 = jnp.full((SUB, l), jnp.inf, dtype=jnp.float32)
+    else:
+        pad_n = n - t_seed.shape[0]
+        if pad_n:
+            t_seed = jnp.pad(t_seed, (0, pad_n), constant_values=jnp.inf)
+        t0 = t_seed.reshape(SUB, l)
+
     state = (
         jnp.zeros((bvh.stack_depth, SUB, l), dtype=jnp.int32),  # stack
         jnp.full((bvh.stack_depth, SUB, l), -jnp.inf, jnp.float32),  # tn stack
         active.reshape(SUB, l).astype(jnp.int32),  # sp (root pre-pushed)
-        jnp.full((SUB, l), jnp.inf, dtype=jnp.float32),  # t
+        t0,  # t
         jnp.zeros((SUB, l), dtype=jnp.float32),  # u
         jnp.zeros((SUB, l), dtype=jnp.float32),  # v
         jnp.full((SUB, l), -1, dtype=jnp.int32),  # best (leaf*8 + k)

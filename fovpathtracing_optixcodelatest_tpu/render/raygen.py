@@ -46,6 +46,15 @@ def pass_ray_count(p: FoveationPass, width: int, height: int) -> int:
     return lw * lh * p.spp
 
 
+# RNG-stream stride per pixel: ray id = global_pixel * RNG_STRIDE + slot.
+# Keying streams by FRAME pixel (the reference's tea<4>(y*w+x, subframe),
+# deviceProgram.cu:411) — not by pass-local index — makes every pass that
+# touches a pixel draw the SAME samples: the foveated fovea at spp k is
+# bit-identical to a uniform spp-k render (the SSIM north-star harness
+# exploits this), and multi-chip sample sharding stays layout-invariant.
+RNG_STRIDE = 64  # max spp any schedule may use (reference max is 32)
+
+
 def generate_pass_rays(
     camera: CameraParams,
     p: FoveationPass,
@@ -64,11 +73,13 @@ def generate_pass_rays(
     ``sample_ids`` (k,) selects which of the pass's spp sample slots this call
     generates (default all) — the hook for sample-parallel sharding: devices
     pass disjoint slices and get bit-identical rays to the unsharded call
-    because jitter is keyed by global ray id (pixel·spp + sample).
+    because jitter is keyed by the global ray id.
 
-    ``ray_id_base`` offsets the ray ids so ids stay globally unique when
-    several passes' batches are merged into one wavefront (the RNG stream of
-    a ray is a pure function of its global id — ops/rng.py).
+    Ray ids are ``frame_pixel * RNG_STRIDE + sample_slot`` (see RNG_STRIDE:
+    the reference's pixel-keyed tea<4> seeding) — a pure function of the
+    pixel the ray shades, independent of pass, batch layout, or sharding.
+    ``ray_id_base`` is accepted for API stability but unused (pixel keying
+    makes merged-wavefront ids consistent by construction).
 
     Returns dict with origins (N,3), directions (N,3), active (N,), ray_ids
     (N,) int32, pixel ring mask (LH, LW), launch dims and offsets. Ray layout
@@ -97,8 +108,11 @@ def generate_pass_rays(
     fx = jnp.repeat(idx_x.reshape(-1).astype(jnp.float32), k)
     fy = jnp.repeat(idx_y.reshape(-1).astype(jnp.float32), k)
 
-    pix_ids = jnp.repeat(jnp.arange(n_pix, dtype=jnp.int32), k)
-    ray_ids = ray_id_base + pix_ids * spp + jnp.tile(sample_ids, n_pix)
+    assert spp <= RNG_STRIDE, f"spp {spp} exceeds RNG_STRIDE {RNG_STRIDE}"
+    frame_pix = (idx_y * width + idx_x).reshape(-1)  # (n_pix,) frame pixel
+    ray_ids = (
+        jnp.repeat(frame_pix, k) * RNG_STRIDE + jnp.tile(sample_ids, n_pix)
+    ).astype(jnp.int32)
 
     if antialias:
         jitter = aa_jitter(

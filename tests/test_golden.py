@@ -122,6 +122,15 @@ def test_foveated_matches_uniform_in_fovea():
     assert abs(fov_crop.mean() - uni_crop.mean()) < 0.06
     assert np.abs(fov_crop - uni_crop).mean() < 0.08
 
+    # pixel-keyed RNG (raygen.RNG_STRIDE): at the SAME frame key the
+    # equal-spp fovea is BIT-IDENTICAL to the uniform render — the strong
+    # form of the SSIM north star (measured 1.0000 at 960x540 on TPU)
+    frames_f2 = _render(fov_sched, w, h, seed=2)
+    np.testing.assert_array_equal(
+        frames_f2[cy - rr : cy + rr, cx - rr : cx + rr],
+        frames_u[cy - rr : cy + rr, cx - rr : cx + rr],
+    )
+
 
 def _coverage_sentinel(margin, w=48, h=36, r=10):
     """Render one foveated frame over a sentinel-filled canvas; returns the
