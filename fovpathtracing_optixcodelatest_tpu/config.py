@@ -223,6 +223,10 @@ class RenderConfig:
     # (ops/intersect brute force — the independent ground-truth intersector
     # for the SSIM north-star harness; O(rays x tris), small scenes only).
     traversal: str = "bvh"
+    # Two-phase closest-hit (traverse8.closest_hit_staged): cap phase-1
+    # chunks at this many lockstep iterations, then re-trace the straggler
+    # rays packed together (measured +51% on bounce rays; 0 disables).
+    traversal_phase1_cap: int = 12
 
     @property
     def resolution(self) -> Tuple[int, int]:

@@ -287,7 +287,7 @@ def _chunked(impl, bvh, origin, direction, active, chunk):
 
 
 def _chunked_seeded(bvh, origin, direction, active, t_seed, tmin, tmax,
-                    max_steps, chunk):
+                    max_steps, chunk, iter_cap=None):
     """_chunked variant that also slices the per-ray t_seed."""
     n = origin.shape[0]
     pad = (-n) % chunk
@@ -301,6 +301,7 @@ def _chunked_seeded(bvh, origin, direction, active, t_seed, tmin, tmax,
         lambda args: closest_hit(
             bvh, args[0], args[1], tmin, tmax, active=args[2],
             max_steps=max_steps, chunk=None, t_seed=args[3],
+            iter_cap=iter_cap,
         ),
         (
             origin.reshape(c, chunk, 3),
@@ -314,6 +315,69 @@ def _chunked_seeded(bvh, origin, direction, active, t_seed, tmin, tmax,
     return flat
 
 
+def closest_hit_staged(
+    bvh: WideBVH,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    tmin: float,
+    tmax: float,
+    active=None,
+    max_steps: int = 100_000,
+    chunk: int | None = DEFAULT_CHUNK,
+    phase1_cap: int = 12,
+):
+    """Two-phase closest hit — the lockstep-tail fix.
+
+    A chunk's while_loop runs as long as its LONGEST ray: measured on
+    box_city bounce rays, mean useful pops/ray is 7.4 but chunks run 26.5
+    iterations (3.6x tail waste; oracle pop-sorting reached 22.8 vs 8.4
+    Mrays/s). Phase 1 caps every chunk at ``phase1_cap`` iterations
+    (finishes ~p90 of rays); the stragglers are packed together by ONE sort
+    and re-traced from the root with their phase-1 best t as the cull seed,
+    now in pop-homogeneous chunks. Returns the standard closest_hit dict.
+    """
+    n = origin.shape[0]
+    if active is None:
+        active = jnp.ones((n,), dtype=bool)
+    p1 = closest_hit(
+        bvh, origin, direction, tmin, tmax, active=active,
+        max_steps=max_steps, chunk=chunk, iter_cap=phase1_cap,
+    )
+    pend = p1["pending"] & active
+    s = lax.sort(
+        [~pend, jnp.arange(n, dtype=jnp.int32),
+         origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2],
+         p1["t"]],
+        num_keys=1,
+        is_stable=True,
+    )
+    p2s = closest_hit(
+        bvh,
+        jnp.stack(s[2:5], axis=1),
+        jnp.stack(s[5:8], axis=1),
+        tmin, tmax,
+        active=~s[0],
+        max_steps=max_steps,
+        chunk=chunk,
+        t_seed=s[8] * (1.0 + 1e-6),
+    )
+    u = lax.sort(
+        [s[1], p2s["t"], p2s["u"], p2s["v"], p2s["tri_id"], p2s["hit"]],
+        num_keys=1,
+    )
+    closer = pend & u[5]
+    return {
+        "t": jnp.where(closer, u[1], p1["t"]),
+        "u": jnp.where(closer, u[2], p1["u"]),
+        "v": jnp.where(closer, u[3], p1["v"]),
+        "tri_id": jnp.where(closer, u[4], p1["tri_id"]),
+        "hit": p1["hit"] | closer,
+        "pending": jnp.zeros_like(pend),
+        "steps": p1["steps"] + p2s["steps"],
+    }
+
+
 def closest_hit(
     bvh: WideBVH,
     origin: jnp.ndarray,
@@ -324,15 +388,20 @@ def closest_hit(
     max_steps: int = 100_000,
     chunk: int | None = DEFAULT_CHUNK,
     t_seed: jnp.ndarray | None = None,
+    iter_cap: int | None = None,
 ):
-    """Closest-hit query. Returns dict(t, tri_id, u, v, hit, steps) of (N,)
-    arrays — same contract as traverse.closest_hit.
+    """Closest-hit query. Returns dict(t, tri_id, u, v, hit, pending, steps)
+    of (N,) arrays — same contract as traverse.closest_hit.
 
     ``t_seed`` (N,) optionally seeds the per-ray t-limit with a known upper
     bound on the closest hit (any t of ANY hit is valid): subtrees beyond it
     are culled from the first pop. Seeded rays that find nothing closer
     report miss — callers that seed from a real hit must treat that as
-    "the seed was the hit"."""
+    "the seed was the hit".
+
+    ``iter_cap`` bounds each chunk's while_loop: rays whose stack is not
+    empty at the cap return ``pending=True`` with their best-so-far hit
+    (closest_hit_staged uses this — the lockstep tail fix)."""
     n0 = origin.shape[0]
     if active is None:
         active = jnp.ones((n0,), dtype=bool)
@@ -341,13 +410,13 @@ def closest_hit(
             return _chunked(
                 lambda b, o, d, a: closest_hit(
                     b, o, d, tmin, tmax, active=a, max_steps=max_steps,
-                    chunk=None
+                    chunk=None, iter_cap=iter_cap,
                 ),
                 bvh, origin, direction, active, chunk,
             )
         return _chunked_seeded(
             bvh, origin, direction, active, t_seed, tmin, tmax, max_steps,
-            chunk,
+            chunk, iter_cap,
         )
     origin, direction, active, n0 = _pad_rays(origin, direction, active)
     n = origin.shape[0]
@@ -373,8 +442,10 @@ def closest_hit(
         jnp.zeros((), dtype=jnp.int32),  # steps
     )
 
+    step_limit = max_steps if iter_cap is None else min(max_steps, iter_cap)
+
     def cond(s):
-        return jnp.any(s[2] > 0) & (s[7] < max_steps)
+        return jnp.any(s[2] > 0) & (s[7] < step_limit)
 
     def body(s):
         stack, tn_stack, sp, t, u, v, best, steps = s
@@ -420,6 +491,7 @@ def closest_hit(
         "u": out[4].reshape(-1)[:n0],
         "v": out[5].reshape(-1)[:n0],
         "hit": best >= 0,
+        "pending": (out[2] > 0).reshape(-1)[:n0],
         "steps": out[7],
     }
 

@@ -82,22 +82,28 @@ def _closest_compacted(scene, o, d, alive, config):
         out["hit"] = out["hit"] & alive
         out["steps"] = jnp.zeros((), jnp.int32)
         return out
-    if not config.compact_bounces:
-        return traverse8.closest_hit(
-            scene.bvh, o, d, config.tmin, config.tmax, active=alive
+    if config.traversal_phase1_cap > 0:
+        query = lambda b, oo, dd, act: traverse8.closest_hit_staged(  # noqa: E731
+            b, oo, dd, config.tmin, config.tmax, active=act,
+            phase1_cap=config.traversal_phase1_cap,
         )
+    else:
+        query = lambda b, oo, dd, act: traverse8.closest_hit(  # noqa: E731
+            b, oo, dd, config.tmin, config.tmax, active=act
+        )
+    if not config.compact_bounces:
+        return query(scene.bvh, o, d, alive)
     s = lax.sort(
         [~alive, jnp.arange(n, dtype=jnp.int32),
          o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]],
         num_keys=1,
         is_stable=True,  # keep raygen's pixel-order coherence within chunks
     )
-    hit = traverse8.closest_hit(
+    hit = query(
         scene.bvh,
         jnp.stack(s[2:5], axis=1),
         jnp.stack(s[5:8], axis=1),
-        config.tmin, config.tmax,
-        active=~s[0],
+        ~s[0],
     )
     u = lax.sort(
         [s[1], hit["t"], hit["u"], hit["v"], hit["tri_id"], hit["hit"]],
