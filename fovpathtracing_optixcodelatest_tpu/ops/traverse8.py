@@ -40,7 +40,10 @@ from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import EMPTY, WideBVH
 # Default ray-chunk length: each chunk runs its own while_loop under lax.map,
 # so a chunk of early-finishing rays stops at ITS max pop count instead of the
 # global batch max — the cheap tail-latency fix for lockstep traversal.
-DEFAULT_CHUNK = 1 << 14
+# 32k (vs round-1's 16k): with the phase-1 iteration cap bounding lockstep
+# tails, the per-chunk fixed cost (~0.3 ms lax.map step) dominates smaller
+# chunks.
+DEFAULT_CHUNK = 1 << 15
 
 # Sublane tiling: a chunk of N rays is laid out as (8, N // 8).
 SUB = 8
@@ -344,29 +347,34 @@ def closest_hit_staged(
         max_steps=max_steps, chunk=chunk, iter_cap=phase1_cap,
     )
     pend = p1["pending"] & active
+    # composite i32 key (done<<30 | idx): unique → stable, and no pred
+    # operands enter the sorts (pred staging copies measured ~30 ms each
+    # at frame scale)
+    done_bit = jnp.int32(1 << 30)
+    ikey = jnp.where(pend, 0, done_bit) | jnp.arange(n, dtype=jnp.int32)
     s = lax.sort(
-        [~pend, jnp.arange(n, dtype=jnp.int32),
+        [ikey,
          origin[:, 0], origin[:, 1], origin[:, 2],
          direction[:, 0], direction[:, 1], direction[:, 2],
          p1["t"]],
         num_keys=1,
-        is_stable=True,
     )
     p2s = closest_hit(
         bvh,
-        jnp.stack(s[2:5], axis=1),
-        jnp.stack(s[5:8], axis=1),
+        jnp.stack(s[1:4], axis=1),
+        jnp.stack(s[4:7], axis=1),
         tmin, tmax,
-        active=~s[0],
+        active=s[0] < done_bit,
         max_steps=max_steps,
         chunk=chunk,
-        t_seed=s[8] * (1.0 + 1e-6),
+        t_seed=s[7] * (1.0 + 1e-6),
     )
+    tri_or_miss = jnp.where(p2s["hit"], p2s["tri_id"], -1)
     u = lax.sort(
-        [s[1], p2s["t"], p2s["u"], p2s["v"], p2s["tri_id"], p2s["hit"]],
+        [s[0] & (done_bit - 1), p2s["t"], p2s["u"], p2s["v"], tri_or_miss],
         num_keys=1,
     )
-    closer = pend & u[5]
+    closer = pend & (u[4] >= 0)
     return {
         "t": jnp.where(closer, u[1], p1["t"]),
         "u": jnp.where(closer, u[2], p1["u"]),

@@ -70,6 +70,9 @@ from fovpathtracing_optixcodelatest_tpu.ops.sampling import (
     face_forward,
 )
 
+# dead-flag bit for composite i32 sort keys (flag | index); index < 2^30
+_DEAD = jnp.int32(1 << 30)
+
 
 def _closest_compacted(scene, o, d, alive, config):
     """Closest-hit with alive-first packing local to the query: one 8-operand
@@ -93,24 +96,29 @@ def _closest_compacted(scene, o, d, alive, config):
         )
     if not config.compact_bounces:
         return query(scene.bvh, o, d, alive)
+    # composite i32 key: dead<<30 | original index — unique, so the sort is
+    # stable by construction AND no pred (bool) operand enters lax.sort
+    # (bool operands lower to (4,1)-packed pred staging copies, measured
+    # ~30 ms each at frame scale). `hit` is derived from tri_id >= 0.
+    ikey = jnp.where(alive, 0, _DEAD) | jnp.arange(n, dtype=jnp.int32)
     s = lax.sort(
-        [~alive, jnp.arange(n, dtype=jnp.int32),
-         o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]],
+        [ikey, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]],
         num_keys=1,
-        is_stable=True,  # keep raygen's pixel-order coherence within chunks
     )
     hit = query(
         scene.bvh,
-        jnp.stack(s[2:5], axis=1),
-        jnp.stack(s[5:8], axis=1),
-        ~s[0],
+        jnp.stack(s[1:4], axis=1),
+        jnp.stack(s[4:7], axis=1),
+        s[0] < _DEAD,
     )
+    tri_or_miss = jnp.where(hit["hit"], hit["tri_id"], -1)
     u = lax.sort(
-        [s[1], hit["t"], hit["u"], hit["v"], hit["tri_id"], hit["hit"]],
+        [s[0] & (_DEAD - 1), hit["t"], hit["u"], hit["v"], tri_or_miss],
         num_keys=1,
     )
     return {
-        "t": u[1], "u": u[2], "v": u[3], "tri_id": u[4], "hit": u[5],
+        "t": u[1], "u": u[2], "v": u[3],
+        "tri_id": u[4], "hit": u[4] >= 0,
         "steps": hit["steps"],
     }
 
@@ -127,20 +135,22 @@ def _occluded_compacted(scene, p, wi, query, config):
         return traverse8.occluded(
             scene.bvh, p, wi, config.tmin, config.tmax, active=query
         )
+    ikey = jnp.where(query, 0, _DEAD) | jnp.arange(n, dtype=jnp.int32)
     s = lax.sort(
-        [~query, jnp.arange(n, dtype=jnp.int32),
-         p[:, 0], p[:, 1], p[:, 2], wi[:, 0], wi[:, 1], wi[:, 2]],
+        [ikey, p[:, 0], p[:, 1], p[:, 2], wi[:, 0], wi[:, 1], wi[:, 2]],
         num_keys=1,
-        is_stable=True,
     )
     occ_s = traverse8.occluded(
         scene.bvh,
-        jnp.stack(s[2:5], axis=1),
-        jnp.stack(s[5:8], axis=1),
+        jnp.stack(s[1:4], axis=1),
+        jnp.stack(s[4:7], axis=1),
         config.tmin, config.tmax,
-        active=~s[0],
+        active=s[0] < _DEAD,
     )
-    return lax.sort([s[1], occ_s], num_keys=1)[1]
+    u = lax.sort(
+        [s[0] & (_DEAD - 1), occ_s.astype(jnp.int32)], num_keys=1
+    )
+    return u[1] > 0
 
 
 def trace_paths(
