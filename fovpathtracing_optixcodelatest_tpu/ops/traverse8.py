@@ -281,16 +281,33 @@ def _chunked(impl, bvh, origin, direction, active, chunk):
     c = (n + pad) // chunk
     o_c = origin.reshape(c, chunk, 3)
     d_c = direction.reshape(c, chunk, 3)
-    a_c = active.reshape(c, chunk)
-    outs = jax.lax.map(lambda args: impl(bvh, *args), (o_c, d_c, a_c))
-    flat = {k: v.reshape(-1)[:n] for k, v in outs.items() if k != "steps"}
-    if "steps" in outs:
-        flat["steps"] = jnp.sum(outs["steps"])
+    # lax.map boundaries carry no pred arrays: (C, chunk) bool stacks get a
+    # (4,1)-packed layout whose per-step slicing costs ~0.3 ms (profiled);
+    # ship i32 across the boundary, cast inside the step
+    a_c = active.astype(jnp.int32).reshape(c, chunk)
+
+    def step(args):
+        o, d, a = args
+        out = impl(bvh, o, d, a != 0)
+        return {
+            k: (v.astype(jnp.int32) if v.dtype == jnp.bool_ else v)
+            for k, v in out.items()
+        }
+
+    outs = jax.lax.map(step, (o_c, d_c, a_c))
+    flat = {}
+    for k, v in outs.items():
+        if k == "steps":
+            flat[k] = jnp.sum(v)
+        elif k in ("hit", "pending", "occ"):
+            flat[k] = v.reshape(-1)[:n] != 0
+        else:
+            flat[k] = v.reshape(-1)[:n]
     return flat
 
 
 def _chunked_seeded(bvh, origin, direction, active, t_seed, tmin, tmax,
-                    max_steps, chunk, iter_cap=None):
+                    max_steps, chunk, iter_cap=None, stack_cap=None):
     """_chunked variant that also slices the per-ray t_seed."""
     n = origin.shape[0]
     pad = (-n) % chunk
@@ -300,21 +317,35 @@ def _chunked_seeded(bvh, origin, direction, active, t_seed, tmin, tmax,
         active = jnp.pad(active, (0, pad))
         t_seed = jnp.pad(t_seed, (0, pad), constant_values=jnp.inf)
     c = (n + pad) // chunk
-    outs = jax.lax.map(
-        lambda args: closest_hit(
-            bvh, args[0], args[1], tmin, tmax, active=args[2],
+
+    def step(args):
+        out = closest_hit(
+            bvh, args[0], args[1], tmin, tmax, active=args[2] != 0,
             max_steps=max_steps, chunk=None, t_seed=args[3],
-            iter_cap=iter_cap,
-        ),
+            iter_cap=iter_cap, stack_cap=stack_cap,
+        )
+        return {
+            k: (v.astype(jnp.int32) if v.dtype == jnp.bool_ else v)
+            for k, v in out.items()
+        }
+
+    outs = jax.lax.map(
+        step,
         (
             origin.reshape(c, chunk, 3),
             direction.reshape(c, chunk, 3),
-            active.reshape(c, chunk),
+            active.astype(jnp.int32).reshape(c, chunk),
             t_seed.reshape(c, chunk),
         ),
     )
-    flat = {k: v.reshape(-1)[:n] for k, v in outs.items() if k != "steps"}
-    flat["steps"] = jnp.sum(outs["steps"])
+    flat = {}
+    for k, v in outs.items():
+        if k == "steps":
+            flat[k] = jnp.sum(v)
+        elif k in ("hit", "pending"):
+            flat[k] = v.reshape(-1)[:n] != 0
+        else:
+            flat[k] = v.reshape(-1)[:n]
     return flat
 
 
@@ -328,6 +359,7 @@ def closest_hit_staged(
     max_steps: int = 100_000,
     chunk: int | None = DEFAULT_CHUNK,
     phase1_cap: int = 12,
+    phase1_stack: int = 16,
 ):
     """Two-phase closest hit — the lockstep-tail fix.
 
@@ -335,9 +367,12 @@ def closest_hit_staged(
     box_city bounce rays, mean useful pops/ray is 7.4 but chunks run 26.5
     iterations (3.6x tail waste; oracle pop-sorting reached 22.8 vs 8.4
     Mrays/s). Phase 1 caps every chunk at ``phase1_cap`` iterations
-    (finishes ~p90 of rays); the stragglers are packed together by ONE sort
-    and re-traced from the root with their phase-1 best t as the cull seed,
-    now in pop-homogeneous chunks. Returns the standard closest_hit dict.
+    (finishes ~p90 of rays) on a ``phase1_stack``-deep truncated stack
+    (actual occupancy is ~12-16 vs the worst-case (arity-1)*height+2, which
+    VMEM-spills on deep scenes); stragglers AND stack-overflow rays are
+    packed together by ONE sort and re-traced from the root at full depth
+    with their phase-1 best t as the cull seed, now in pop-homogeneous
+    chunks. Returns the standard closest_hit dict.
     """
     n = origin.shape[0]
     if active is None:
@@ -345,6 +380,7 @@ def closest_hit_staged(
     p1 = closest_hit(
         bvh, origin, direction, tmin, tmax, active=active,
         max_steps=max_steps, chunk=chunk, iter_cap=phase1_cap,
+        stack_cap=phase1_stack,
     )
     pend = p1["pending"] & active
     # composite i32 key (done<<30 | idx): unique → stable, and no pred
@@ -397,6 +433,7 @@ def closest_hit(
     chunk: int | None = DEFAULT_CHUNK,
     t_seed: jnp.ndarray | None = None,
     iter_cap: int | None = None,
+    stack_cap: int | None = None,
 ):
     """Closest-hit query. Returns dict(t, tri_id, u, v, hit, pending, steps)
     of (N,) arrays — same contract as traverse.closest_hit.
@@ -409,7 +446,13 @@ def closest_hit(
 
     ``iter_cap`` bounds each chunk's while_loop: rays whose stack is not
     empty at the cap return ``pending=True`` with their best-so-far hit
-    (closest_hit_staged uses this — the lockstep tail fix)."""
+    (closest_hit_staged uses this — the lockstep tail fix).
+
+    ``stack_cap`` truncates the traversal stack below the worst-case
+    ``bvh.stack_depth``: rays whose pushes ever overflow are flagged
+    ``pending`` (their result may be wrong — the staged re-trace fixes
+    them). Deep trees make the worst-case stack enormous ((arity-1)*height+2
+    = 92 rows at 10M tris — VMEM-spilling); actual max occupancy is ~12-16."""
     n0 = origin.shape[0]
     if active is None:
         active = jnp.ones((n0,), dtype=bool)
@@ -418,13 +461,13 @@ def closest_hit(
             return _chunked(
                 lambda b, o, d, a: closest_hit(
                     b, o, d, tmin, tmax, active=a, max_steps=max_steps,
-                    chunk=None, iter_cap=iter_cap,
+                    chunk=None, iter_cap=iter_cap, stack_cap=stack_cap,
                 ),
                 bvh, origin, direction, active, chunk,
             )
         return _chunked_seeded(
             bvh, origin, direction, active, t_seed, tmin, tmax, max_steps,
-            chunk, iter_cap,
+            chunk, iter_cap, stack_cap,
         )
     origin, direction, active, n0 = _pad_rays(origin, direction, active)
     n = origin.shape[0]
@@ -439,24 +482,28 @@ def closest_hit(
             t_seed = jnp.pad(t_seed, (0, pad_n), constant_values=jnp.inf)
         t0 = t_seed.reshape(SUB, l)
 
+    depth = bvh.stack_depth if stack_cap is None else min(
+        stack_cap, bvh.stack_depth
+    )
     state = (
-        jnp.zeros((bvh.stack_depth, SUB, l), dtype=jnp.int32),  # stack
-        jnp.full((bvh.stack_depth, SUB, l), -jnp.inf, jnp.float32),  # tn stack
+        jnp.zeros((depth, SUB, l), dtype=jnp.int32),  # stack
+        jnp.full((depth, SUB, l), -jnp.inf, jnp.float32),  # tn stack
         active.reshape(SUB, l).astype(jnp.int32),  # sp (root pre-pushed)
         t0,  # t
         jnp.zeros((SUB, l), dtype=jnp.float32),  # u
         jnp.zeros((SUB, l), dtype=jnp.float32),  # v
         jnp.full((SUB, l), -1, dtype=jnp.int32),  # best (leaf*8 + k)
+        jnp.zeros((SUB, l), dtype=jnp.int32),  # overflowed (result suspect)
         jnp.zeros((), dtype=jnp.int32),  # steps
     )
 
     step_limit = max_steps if iter_cap is None else min(max_steps, iter_cap)
 
     def cond(s):
-        return jnp.any(s[2] > 0) & (s[7] < step_limit)
+        return jnp.any(s[2] > 0) & (s[8] < step_limit)
 
     def body(s):
-        stack, tn_stack, sp, t, u, v, best, steps = s
+        stack, tn_stack, sp, t, u, v, best, overflow, steps = s
         tlimit = jnp.minimum(t, tmax)
         entry, sp, fresh = _pop_fresh(stack, tn_stack, sp, tlimit, drains=2)
         is_node = fresh & (entry >= 0)
@@ -471,6 +518,8 @@ def closest_hit(
         cnt = hits[0].astype(jnp.int32)
         for h in hits[1:]:
             cnt = cnt + h.astype(jnp.int32)
+        if depth < bvh.stack_depth:
+            overflow = overflow | (sp + cnt > depth).astype(jnp.int32)
         stack, tn_stack, sp = _push2(
             stack, tn_stack, sp, entries_c, tns_c, cnt
         )
@@ -485,7 +534,7 @@ def closest_hit(
             u = jnp.where(better, u_k, u)
             v = jnp.where(better, v_k, v)
             best = jnp.where(better, leaf * bvh.leaf_size + k, best)
-        return (stack, tn_stack, sp, t, u, v, best, steps + 1)
+        return (stack, tn_stack, sp, t, u, v, best, overflow, steps + 1)
 
     out = lax.while_loop(cond, body, state)
     best = out[6].reshape(-1)[:n0]
@@ -499,8 +548,8 @@ def closest_hit(
         "u": out[4].reshape(-1)[:n0],
         "v": out[5].reshape(-1)[:n0],
         "hit": best >= 0,
-        "pending": (out[2] > 0).reshape(-1)[:n0],
-        "steps": out[7],
+        "pending": ((out[2] > 0) | (out[7] > 0)).reshape(-1)[:n0],
+        "steps": out[8],
     }
 
 
