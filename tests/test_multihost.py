@@ -1,0 +1,59 @@
+"""Multi-host distributed rendering: 2 OS processes x 4 virtual CPU devices
+joined by jax.distributed into one 8-device mesh; psum frame assembly crosses
+the process (DCN) boundary. Checks both processes produce the full frame and
+that it is BIT-IDENTICAL to the single-process 8-device render (sample
+sharding depends only on GLOBAL device index — parallel/multihost.py)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+
+_WORKER = r"""
+import sys
+import numpy as np
+from fovpathtracing_optixcodelatest_tpu.parallel.multihost import worker
+pid = int(sys.argv[1]); out = sys.argv[2]
+frame, traces = worker(pid, 2, coordinator="localhost:9911")
+np.savez(out, frame=frame, traces=traces)
+"""
+
+
+def test_two_process_render_bit_identical(tmp_path):
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = []
+    outs = []
+    for pid in range(2):
+        out = str(tmp_path / f"frame_{pid}.npz")
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _WORKER, str(pid), out],
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    logs = []
+    for p in procs:
+        so, se = p.communicate(timeout=850)
+        logs.append(se.decode()[-2000:])
+        assert p.returncode == 0, logs
+    frames = [np.load(o)["frame"] for o in outs]
+    traces = [int(np.load(o)["traces"]) for o in outs]
+    # every host holds the fully assembled frame
+    np.testing.assert_array_equal(frames[0], frames[1])
+    assert traces[0] == traces[1] > 0
+
+    from fovpathtracing_optixcodelatest_tpu.parallel.multihost import (
+        reference_frame,
+    )
+
+    ref = reference_frame()
+    np.testing.assert_array_equal(frames[0], ref)
