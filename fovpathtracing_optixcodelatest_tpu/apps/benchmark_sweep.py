@@ -44,11 +44,13 @@ def run_config(scene, cam, config, schedule, frames: int, seed: int = 0):
     gx = jnp.asarray(w // 2, jnp.int32)
     gy = jnp.asarray(h // 2, jnp.int32)
     key = jax.random.PRNGKey(seed)
-    # warmup/compile
-    canvas, frame, stats = render_frame(
-        scene, camp, gx, gy, jnp.asarray(0, jnp.int32), canvas, key,
-        config, schedule,
-    )
+    # warmup/compile + one discarded timing window (the first in-process
+    # window measures ~25% slow — bench.py discipline)
+    for i in range(2):
+        canvas, frame, stats = render_frame(
+            scene, camp, gx, gy, jnp.asarray(i, jnp.int32), canvas,
+            jax.random.fold_in(key, 100 + i), config, schedule,
+        )
     _ = np.asarray(frame)
     t0 = time.perf_counter()
     traces = jnp.zeros((), jnp.int32)
