@@ -118,7 +118,11 @@ def main(argv=None) -> int:
 
     if not args.skip_uniform:
         sched_u = FoveationSchedule.uniform(args.uniform_spp)
-        fps, ms, traces = run_config(scene, cam, config, sched_u, args.frames)
+        # the uniform baseline runs at ITS best settings (two-phase staging
+        # pays off on incoherent foveated loads but costs ~20% on huge
+        # coherent uniform batches) — an honest baseline is a fast baseline
+        cfg_u = dataclasses.replace(config, traversal_phase1_cap=0)
+        fps, ms, traces = run_config(scene, cam, cfg_u, sched_u, args.frames)
         results["uniform"] = (fps, ms, traces)
         print(f"uniform {args.uniform_spp}spp: {fps:.2f} fps, {ms:.0f} ms",
               file=sys.stderr)

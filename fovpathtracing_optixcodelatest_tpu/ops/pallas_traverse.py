@@ -21,10 +21,16 @@ ops/traverse8.occluded). Mosaic landmines found and worked around:
 MEASURED (v5e, box_city 7k tris, 256k coherent shadow rays): 0.34 Mrays/s vs
 7.2 Mrays/s for the XLA per-ray path — packet union-traversal pays ~1-3 us
 scalar-loop overhead per node visit and packets serialize on the single
-TensorCore. Conclusion for round 2: packet-per-kernel is NOT the win on this
-hardware; the promising Pallas directions are per-ray traversal via MXU
-one-hot row gathers from VMEM, or keeping XLA traversal and fusing
-shading/film instead.
+TensorCore.
+
+ROUND-2 VERDICT (see PLAN.md rules 11-13): the XLA per-ray loop was found to
+be lockstep-TAIL-bound, not per-op bound — fixed by the two-phase capped
+traversal in traverse8.closest_hit_staged (+51%), with per-iteration cost
+row-rate-bound on the gather (~1.5 ns/row) and insensitive to arity/leaf/
+stack-depth knobs. A Pallas kernel would need a per-lane VMEM gather to beat
+it (still missing in Mosaic); the MXU one-hot gather alternative costs
+~ the same as XLA's native gather (f32 table needs a 3x bf16 split). This
+module stays as the measured negative result.
 """
 
 from __future__ import annotations

@@ -270,83 +270,96 @@ def _pad_rays(origin, direction, active):
     return origin, direction, active, n
 
 
-def _chunked(impl, bvh, origin, direction, active, chunk):
-    """Run ``impl`` over row chunks with lax.map (see DEFAULT_CHUNK)."""
+def _batch_tiles(origin, direction, active, chunk, t_seed=None):
+    """Batch-level prep for the chunked traversal loops: pad to a chunk
+    multiple and lay EVERYTHING out as (C, 8, L) tiles up front. All
+    transposes/casts run ONCE at batch bandwidth — doing them inside the
+    lax.map step cost ~0.3 ms of latency-bound small ops per chunk
+    (profiled: ~45% of a mostly-idle chunk pass)."""
     n = origin.shape[0]
     pad = (-n) % chunk
     if pad:
         origin = jnp.pad(origin, ((0, pad), (0, 0)))
         direction = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
         active = jnp.pad(active, (0, pad))
+        if t_seed is not None:
+            t_seed = jnp.pad(t_seed, (0, pad), constant_values=jnp.inf)
     c = (n + pad) // chunk
-    o_c = origin.reshape(c, chunk, 3)
-    d_c = direction.reshape(c, chunk, 3)
-    # lax.map boundaries carry no pred arrays: (C, chunk) bool stacks get a
-    # (4,1)-packed layout whose per-step slicing costs ~0.3 ms (profiled);
-    # ship i32 across the boundary, cast inside the step
-    a_c = active.astype(jnp.int32).reshape(c, chunk)
-
-    def step(args):
-        o, d, a = args
-        out = impl(bvh, o, d, a != 0)
-        return {
-            k: (v.astype(jnp.int32) if v.dtype == jnp.bool_ else v)
-            for k, v in out.items()
-        }
-
-    outs = jax.lax.map(step, (o_c, d_c, a_c))
-    flat = {}
-    for k, v in outs.items():
-        if k == "steps":
-            flat[k] = jnp.sum(v)
-        elif k in ("hit", "pending", "occ"):
-            flat[k] = v.reshape(-1)[:n] != 0
-        else:
-            flat[k] = v.reshape(-1)[:n]
-    return flat
-
-
-def _chunked_seeded(bvh, origin, direction, active, t_seed, tmin, tmax,
-                    max_steps, chunk, iter_cap=None, stack_cap=None):
-    """_chunked variant that also slices the per-ray t_seed."""
-    n = origin.shape[0]
-    pad = (-n) % chunk
-    if pad:
-        origin = jnp.pad(origin, ((0, pad), (0, 0)))
-        direction = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
-        active = jnp.pad(active, (0, pad))
-        t_seed = jnp.pad(t_seed, (0, pad), constant_values=jnp.inf)
-    c = (n + pad) // chunk
-
-    def step(args):
-        out = closest_hit(
-            bvh, args[0], args[1], tmin, tmax, active=args[2] != 0,
-            max_steps=max_steps, chunk=None, t_seed=args[3],
-            iter_cap=iter_cap, stack_cap=stack_cap,
+    l = chunk // SUB
+    tile = lambda col: col.reshape(c, SUB, l)  # noqa: E731
+    o_r = [tile(x) for x in origin.T]
+    d_r = [tile(x) for x in direction.T]
+    inv_r = [
+        tile(
+            1.0
+            / jnp.where(
+                jnp.abs(x) < 1e-12, jnp.where(x < 0, -1e-12, 1e-12), x
+            )
         )
-        return {
-            k: (v.astype(jnp.int32) if v.dtype == jnp.bool_ else v)
-            for k, v in out.items()
-        }
+        for x in direction.T
+    ]
+    sp0 = tile(active.astype(jnp.int32))
+    t0 = None if t_seed is None else tile(t_seed)
+    return o_r, d_r, inv_r, sp0, t0, c, l, n
 
-    outs = jax.lax.map(
-        step,
-        (
-            origin.reshape(c, chunk, 3),
-            direction.reshape(c, chunk, 3),
-            active.astype(jnp.int32).reshape(c, chunk),
-            t_seed.reshape(c, chunk),
-        ),
+
+def _closest_loop(bvh, o_r, d_r, inv_r, sp0, t0, tmin, tmax, step_limit,
+                  depth):
+    """The per-chunk closest-hit while_loop on pre-tiled (8, L) inputs.
+    Returns (t, u, v, best, overflow, steps)."""
+    l = sp0.shape[-1]
+    state = (
+        jnp.zeros((depth, SUB, l), dtype=jnp.int32),
+        jnp.full((depth, SUB, l), -jnp.inf, jnp.float32),
+        sp0,
+        t0,
+        jnp.zeros((SUB, l), dtype=jnp.float32),
+        jnp.zeros((SUB, l), dtype=jnp.float32),
+        jnp.full((SUB, l), -1, dtype=jnp.int32),
+        jnp.zeros((SUB, l), dtype=jnp.int32),  # overflowed
+        jnp.zeros((), dtype=jnp.int32),
     )
-    flat = {}
-    for k, v in outs.items():
-        if k == "steps":
-            flat[k] = jnp.sum(v)
-        elif k in ("hit", "pending"):
-            flat[k] = v.reshape(-1)[:n] != 0
-        else:
-            flat[k] = v.reshape(-1)[:n]
-    return flat
+
+    def cond(s):
+        return jnp.any(s[2] > 0) & (s[8] < step_limit)
+
+    def body(s):
+        stack, tn_stack, sp, t, u, v, best, overflow, steps = s
+        tlimit = jnp.minimum(t, tmax)
+        entry, sp, fresh = _pop_fresh(stack, tn_stack, sp, tlimit, drains=2)
+        is_node = fresh & (entry >= 0)
+        is_leaf = fresh & (entry < 0)
+        gt = _gather_row(bvh.table, entry, is_leaf)
+
+        hits, tns, entries = _expand(
+            gt, is_node, o_r, inv_r, tmin, tlimit, bvh.arity
+        )
+        keys = [jnp.where(h, tn, -jnp.inf) for h, tn in zip(hits, tns)]
+        keys_c, entries_c, tns_c = _sort_desc(keys, entries, tns)
+        cnt = hits[0].astype(jnp.int32)
+        for h in hits[1:]:
+            cnt = cnt + h.astype(jnp.int32)
+        if depth < bvh.stack_depth:
+            overflow = overflow | (sp + cnt > depth).astype(jnp.int32)
+        stack, tn_stack, sp = _push2(
+            stack, tn_stack, sp, entries_c, tns_c, cnt
+        )
+
+        leaf = jnp.where(is_leaf, -entry - 1, 0)
+        leaf_out = _leaf_hits(
+            gt, is_leaf, o_r, d_r, tmin, tmax, False, bvh.leaf_size
+        )
+        for k, (hit_k, t_k, u_k, v_k) in enumerate(leaf_out):
+            better = hit_k & (t_k < t)
+            t = jnp.where(better, t_k, t)
+            u = jnp.where(better, u_k, u)
+            v = jnp.where(better, v_k, v)
+            best = jnp.where(better, leaf * bvh.leaf_size + k, best)
+        return (stack, tn_stack, sp, t, u, v, best, overflow, steps + 1)
+
+    out = lax.while_loop(cond, body, state)
+    pending = ((out[2] > 0) | (out[7] > 0)).astype(jnp.int32)
+    return out[3], out[4], out[5], out[6], pending, out[8]
 
 
 def closest_hit_staged(
@@ -456,100 +469,57 @@ def closest_hit(
     n0 = origin.shape[0]
     if active is None:
         active = jnp.ones((n0,), dtype=bool)
-    if chunk is not None and n0 > chunk:
-        if t_seed is None:
-            return _chunked(
-                lambda b, o, d, a: closest_hit(
-                    b, o, d, tmin, tmax, active=a, max_steps=max_steps,
-                    chunk=None, iter_cap=iter_cap, stack_cap=stack_cap,
-                ),
-                bvh, origin, direction, active, chunk,
-            )
-        return _chunked_seeded(
-            bvh, origin, direction, active, t_seed, tmin, tmax, max_steps,
-            chunk, iter_cap, stack_cap,
-        )
-    origin, direction, active, n0 = _pad_rays(origin, direction, active)
-    n = origin.shape[0]
-    l = n // SUB
-    o_r, d_r, inv_r = _ray_tiles(origin, direction, l)
-
-    if t_seed is None:
-        t0 = jnp.full((SUB, l), jnp.inf, dtype=jnp.float32)
-    else:
-        pad_n = n - t_seed.shape[0]
-        if pad_n:
-            t_seed = jnp.pad(t_seed, (0, pad_n), constant_values=jnp.inf)
-        t0 = t_seed.reshape(SUB, l)
-
+    if chunk is None or n0 <= chunk:
+        chunk = max(((n0 + SUB * 128 - 1) // (SUB * 128)) * SUB * 128,
+                    SUB * 128)
+    o_r, d_r, inv_r, sp0, t0, c, l, n0 = _batch_tiles(
+        origin, direction, active, chunk, t_seed
+    )
+    if t0 is None:
+        t0 = jnp.full((c, SUB, l), jnp.inf, dtype=jnp.float32)
     depth = bvh.stack_depth if stack_cap is None else min(
         stack_cap, bvh.stack_depth
     )
-    state = (
-        jnp.zeros((depth, SUB, l), dtype=jnp.int32),  # stack
-        jnp.full((depth, SUB, l), -jnp.inf, jnp.float32),  # tn stack
-        active.reshape(SUB, l).astype(jnp.int32),  # sp (root pre-pushed)
-        t0,  # t
-        jnp.zeros((SUB, l), dtype=jnp.float32),  # u
-        jnp.zeros((SUB, l), dtype=jnp.float32),  # v
-        jnp.full((SUB, l), -1, dtype=jnp.int32),  # best (leaf*8 + k)
-        jnp.zeros((SUB, l), dtype=jnp.int32),  # overflowed (result suspect)
-        jnp.zeros((), dtype=jnp.int32),  # steps
-    )
-
     step_limit = max_steps if iter_cap is None else min(max_steps, iter_cap)
 
-    def cond(s):
-        return jnp.any(s[2] > 0) & (s[8] < step_limit)
+    xs = (
+        jnp.stack(o_r, axis=1),  # (C, 3, 8, L)
+        jnp.stack(d_r, axis=1),
+        jnp.stack(inv_r, axis=1),
+        sp0,
+        t0,
+    )
 
-    def body(s):
-        stack, tn_stack, sp, t, u, v, best, overflow, steps = s
-        tlimit = jnp.minimum(t, tmax)
-        entry, sp, fresh = _pop_fresh(stack, tn_stack, sp, tlimit, drains=2)
-        is_node = fresh & (entry >= 0)
-        is_leaf = fresh & (entry < 0)
-        gt = _gather_row(bvh.table, entry, is_leaf)
-
-        hits, tns, entries = _expand(
-            gt, is_node, o_r, inv_r, tmin, tlimit, bvh.arity
-        )
-        keys = [jnp.where(h, tn, -jnp.inf) for h, tn in zip(hits, tns)]
-        keys_c, entries_c, tns_c = _sort_desc(keys, entries, tns)
-        cnt = hits[0].astype(jnp.int32)
-        for h in hits[1:]:
-            cnt = cnt + h.astype(jnp.int32)
-        if depth < bvh.stack_depth:
-            overflow = overflow | (sp + cnt > depth).astype(jnp.int32)
-        stack, tn_stack, sp = _push2(
-            stack, tn_stack, sp, entries_c, tns_c, cnt
+    def step(args):
+        o_i, d_i, inv_i, sp_i, t_i = args
+        return _closest_loop(
+            bvh, [o_i[a] for a in range(3)], [d_i[a] for a in range(3)],
+            [inv_i[a] for a in range(3)], sp_i, t_i,
+            tmin, tmax, step_limit, depth,
         )
 
-        leaf = jnp.where(is_leaf, -entry - 1, 0)
-        leaf_out = _leaf_hits(
-            gt, is_leaf, o_r, d_r, tmin, tmax, False, bvh.leaf_size
-        )
-        for k, (hit_k, t_k, u_k, v_k) in enumerate(leaf_out):
-            better = hit_k & (t_k < t)
-            t = jnp.where(better, t_k, t)
-            u = jnp.where(better, u_k, u)
-            v = jnp.where(better, v_k, v)
-            best = jnp.where(better, leaf * bvh.leaf_size + k, best)
-        return (stack, tn_stack, sp, t, u, v, best, overflow, steps + 1)
+    if c == 1:
+        outs = step(tuple(x[0] for x in xs))
+        t, u, v, best, pending, steps = outs
+        steps_total = steps
+    else:
+        t, u, v, best, pending, steps = jax.lax.map(step, xs)
+        steps_total = jnp.sum(steps)
 
-    out = lax.while_loop(cond, body, state)
-    best = out[6].reshape(-1)[:n0]
+    # batch-level epilogue: one reshape set + one tri-id gather
+    best_f = best.reshape(-1)[:n0]
     perm_flat = bvh.leaf_perm.reshape(-1)
     tri_id = jnp.where(
-        best >= 0, jnp.take(perm_flat, jnp.maximum(best, 0)), -1
+        best_f >= 0, jnp.take(perm_flat, jnp.maximum(best_f, 0)), -1
     )
     return {
-        "t": out[3].reshape(-1)[:n0],
+        "t": t.reshape(-1)[:n0],
         "tri_id": tri_id,
-        "u": out[4].reshape(-1)[:n0],
-        "v": out[5].reshape(-1)[:n0],
-        "hit": best >= 0,
-        "pending": ((out[2] > 0) | (out[7] > 0)).reshape(-1)[:n0],
-        "steps": out[8],
+        "u": u.reshape(-1)[:n0],
+        "v": v.reshape(-1)[:n0],
+        "hit": best_f >= 0,
+        "pending": pending.reshape(-1)[:n0] > 0,
+        "steps": steps_total,
     }
 
 
@@ -570,54 +540,70 @@ def occluded(
     n0 = origin.shape[0]
     if active is None:
         active = jnp.ones((n0,), dtype=bool)
-    if chunk is not None and n0 > chunk:
-        return _chunked(
-            lambda b, o, d, a: {
-                "occ": occluded(
-                    b, o, d, tmin, tmax, active=a, max_steps=max_steps,
-                    chunk=None, cull_backface=cull_backface,
-                )
-            },
-            bvh, origin, direction, active, chunk,
-        )["occ"]
-    origin, direction, active, n0 = _pad_rays(origin, direction, active)
-    n = origin.shape[0]
-    l = n // SUB
-    o_r, d_r, inv_r = _ray_tiles(origin, direction, l)
-
-    state = (
-        jnp.zeros((bvh.stack_depth, SUB, l), dtype=jnp.int32),
-        active.reshape(SUB, l).astype(jnp.int32),
-        jnp.zeros((SUB, l), dtype=bool),  # occ
-        jnp.zeros((), dtype=jnp.int32),
+    if chunk is None or n0 <= chunk:
+        chunk = max(((n0 + SUB * 128 - 1) // (SUB * 128)) * SUB * 128,
+                    SUB * 128)
+    o_r, d_r, inv_r, sp0, _t0, c, l, n0 = _batch_tiles(
+        origin, direction, active, chunk
     )
 
-    def cond(s):
-        return jnp.any(s[1] > 0) & (s[3] < max_steps)
-
-    def body(s):
-        stack, sp, occ, steps = s
-        sp = jnp.where(occ, 0, sp)  # occluded rays drop remaining work
-        entry, sp, has = _pop(stack, sp)
-        is_node = has & (entry >= 0)
-        is_leaf = has & (entry < 0)
-        gt = _gather_row(bvh.table, entry, is_leaf)
-
-        tlim = jnp.full_like(sp, tmax, dtype=jnp.float32)
-        hits, _tns, entries = _expand(gt, is_node, o_r, inv_r, tmin, tlim, bvh.arity)
-        keys = [h.astype(jnp.float32) for h in hits]  # compact hits first
-        _, entries_c = _sort_desc(keys, entries)
-        cnt = hits[0].astype(jnp.int32)
-        for h in hits[1:]:
-            cnt = cnt + h.astype(jnp.int32)
-        stack, sp = _push(stack, sp, entries_c, cnt)
-
-        leaf_out = _leaf_hits(
-            gt, is_leaf, o_r, d_r, tmin, tmax, cull_backface, bvh.leaf_size
+    def loop(o_t, d_t, inv_t, sp_init):
+        state = (
+            jnp.zeros((bvh.stack_depth, SUB, l), dtype=jnp.int32),
+            sp_init,
+            jnp.zeros((SUB, l), dtype=bool),  # occ
+            jnp.zeros((), dtype=jnp.int32),
         )
-        for hit_k, _t, _u, _v in leaf_out:
-            occ = occ | hit_k
-        return (stack, sp, occ, steps + 1)
 
-    out = lax.while_loop(cond, body, state)
-    return out[2].reshape(-1)[:n0]
+        def cond(s):
+            return jnp.any(s[1] > 0) & (s[3] < max_steps)
+
+        def body(s):
+            stack, sp, occ, steps = s
+            sp = jnp.where(occ, 0, sp)  # occluded rays drop remaining work
+            entry, sp, has = _pop(stack, sp)
+            is_node = has & (entry >= 0)
+            is_leaf = has & (entry < 0)
+            gt = _gather_row(bvh.table, entry, is_leaf)
+
+            tlim = jnp.full_like(sp, tmax, dtype=jnp.float32)
+            hits, _tns, entries = _expand(
+                gt, is_node, o_t, inv_t, tmin, tlim, bvh.arity
+            )
+            keys = [h.astype(jnp.float32) for h in hits]  # hits first
+            _, entries_c = _sort_desc(keys, entries)
+            cnt = hits[0].astype(jnp.int32)
+            for h in hits[1:]:
+                cnt = cnt + h.astype(jnp.int32)
+            stack, sp = _push(stack, sp, entries_c, cnt)
+
+            leaf_out = _leaf_hits(
+                gt, is_leaf, o_t, d_t, tmin, tmax, cull_backface,
+                bvh.leaf_size
+            )
+            for hit_k, _t, _u, _v in leaf_out:
+                occ = occ | hit_k
+            return (stack, sp, occ, steps + 1)
+
+        out = lax.while_loop(cond, body, state)
+        return out[2].astype(jnp.int32)
+
+    xs = (
+        jnp.stack(o_r, axis=1),
+        jnp.stack(d_r, axis=1),
+        jnp.stack(inv_r, axis=1),
+        sp0,
+    )
+
+    def step(args):
+        o_i, d_i, inv_i, sp_i = args
+        return loop(
+            [o_i[a] for a in range(3)], [d_i[a] for a in range(3)],
+            [inv_i[a] for a in range(3)], sp_i,
+        )
+
+    if c == 1:
+        occ = step(tuple(x[0] for x in xs))
+    else:
+        occ = jax.lax.map(step, xs)
+    return occ.reshape(-1)[:n0] > 0
