@@ -33,7 +33,6 @@ def main(big: bool = False) -> None:
     from fovpathtracing_optixcodelatest_tpu.models.scene import build_scene
     from fovpathtracing_optixcodelatest_tpu.render import simple
     from fovpathtracing_optixcodelatest_tpu.render.renderer import Renderer
-    from fovpathtracing_optixcodelatest_tpu.render.spectral import spectral_render
     from fovpathtracing_optixcodelatest_tpu.utils.image import save_png
 
     s = 2 if big else 1
@@ -91,18 +90,26 @@ def main(big: bool = False) -> None:
     save_png(os.path.join(OUT, "raycast_04_twin.png"), frame[::-1])  # V-up flip
     print("raycast_04_twin.png")
 
-    # 4. spectral dispersion through a glass sphere
+    # 4. spectral dispersion through a glass sphere — the FULL hero-wavelength
+    # path tracer through the product film (config.spectral=True), not the
+    # old direct-lighting spectral_render demo
     glass = Material(color=(1, 1, 1), emission=(0, 0, 0), metallic=0.0,
                      roughness=0.05, transmission=1.0, eta=1.5)
     gscene = build_scene(
         [make_icosphere((0, 0, 0), 1.0, 3, glass)],
         probe=gradient_sky_probe(sun_power=30.0, sun_sharpness=40.0),
     )
-    gcam = Camera(eye=(0, 0.4, 3.4), lookat=(0, 0, 0), fov_y=42.0)
-    frame = np.asarray(
-        spectral_render(gscene, gcam.device_params(), 240 * s, 240 * s,
-                        dispersion=25000.0)
+    gcam = Camera(eye=(0, 0.4, 3.4), lookat=(0, 0, 0), fov_y=42.0,
+                  aspect=1.0)
+    r = Renderer(
+        scene=gscene,
+        config=RenderConfig(width=240 * s, height=240 * s, spectral=True,
+                            dispersion=25000.0),
+        schedule=FoveationSchedule.uniform(4),
     )
+    r.set_camera(gcam)
+    for _ in range(4):
+        frame = r.render()
     save_png(os.path.join(OUT, "spectral_glass.png"), frame[::-1])
     print("spectral_glass.png")
 

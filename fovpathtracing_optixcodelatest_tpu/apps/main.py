@@ -63,11 +63,20 @@ def parse_args(argv=None):
     p.add_argument("--sampler", default="random",
                    choices=["random", "stratified", "blue_noise"],
                    help="AA sample generator (sample.h's toolbox)")
+    p.add_argument("--spectral", action="store_true",
+                   help="hero-wavelength spectral path tracing (dispersive "
+                        "glass; the reference's spectrum.h never renders)")
+    p.add_argument("--dispersion", type=float, default=4200.0,
+                   help="Cauchy B coefficient (nm^2) for --spectral")
     p.add_argument("--viewer", action="store_true",
                    help="serve the interactive browser viewer (cursor = "
                         "gaze, drag = orbit, wheel = zoom) instead of the "
                         "batch frame loop")
     p.add_argument("--viewer-port", type=int, default=8000)
+    p.add_argument("--viewer-host", default="127.0.0.1",
+                   help="viewer bind address (loopback by default; the "
+                        "stream/control endpoints are unauthenticated — "
+                        "pass 0.0.0.0 to expose them deliberately)")
     return p.parse_args(argv)
 
 
@@ -150,6 +159,7 @@ def main(argv=None) -> int:
     config = RenderConfig(**{
         "width": args.width, "height": args.height,
         "accumulate": not args.no_accumulate, "sampler": args.sampler,
+        "spectral": args.spectral, "dispersion": args.dispersion,
         **overrides,
     })
     schedule = build_schedule(args.schedule)
@@ -171,7 +181,8 @@ def main(argv=None) -> int:
 
         tb = Trackball(camera=cam)
         tb.reinitialize_from_camera()
-        viewer_mod.serve(renderer, tb, port=args.viewer_port)
+        viewer_mod.serve(renderer, tb, port=args.viewer_port,
+                         host=args.viewer_host)
         return 0
 
     timers = FrameTimers()

@@ -174,15 +174,18 @@ def _make_handler(state: ViewerState):
     return Handler
 
 
-def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None):
+def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
+          host: str = "127.0.0.1"):
     """The interactive render loop (main.cpp:347-481 twin). Blocks; renders
     continuously, gaze from the cursor, orbit/zoom from drags. ``max_frames``
-    bounds the loop for tests."""
+    bounds the loop for tests. Binds loopback by default — the stream and the
+    gaze/orbit control endpoints are unauthenticated; pass host="0.0.0.0"
+    explicitly (--viewer-host) to expose them."""
     state = ViewerState(renderer.config.width, renderer.config.height)
-    server = ThreadingHTTPServer(("0.0.0.0", port), _make_handler(state))
+    server = ThreadingHTTPServer((host, port), _make_handler(state))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
-    print(f"viewer: http://localhost:{port}/  (ctrl-c to stop)")
+    print(f"viewer: http://{host}:{port}/  (ctrl-c to stop)")
 
     frames = 0
     t_fps = time.perf_counter()

@@ -227,6 +227,17 @@ class RenderConfig:
     # chunks at this many lockstep iterations, then re-trace the straggler
     # rays packed together (measured +51% on bounce rays; 0 disables).
     traversal_phase1_cap: int = 12
+    # Separate phase-1 cap for PRIMARY rays (bounce 0): coherent primaries
+    # need fewer pops (measured mean 5.3 vs 7.4 on box_city) so a tighter
+    # cap sheds their lockstep tail sooner. 0 = use traversal_phase1_cap.
+    traversal_phase1_cap_primary: int = 0
+    # Hero-wavelength spectral path tracing (the reference's spectrum.h is
+    # dead code — this framework renders it): the integrator carries a
+    # NUM_HERO-wavelength spectral throughput and CIE-integrates per bounce.
+    spectral: bool = False
+    # Cauchy B coefficient (nm^2) for dispersive transmission in spectral
+    # mode; 0 = achromatic refraction (render/spectral.py cauchy_eta).
+    dispersion: float = 4200.0
 
     @property
     def resolution(self) -> Tuple[int, int]:

@@ -480,7 +480,14 @@ def closest_hit(
     depth = bvh.stack_depth if stack_cap is None else min(
         stack_cap, bvh.stack_depth
     )
-    step_limit = max_steps if iter_cap is None else min(max_steps, iter_cap)
+    # iter_cap may be a TRACED scalar (per-bounce caps under lax.scan); the
+    # while_loop cond handles dynamic limits natively.
+    if iter_cap is None:
+        step_limit = max_steps
+    elif isinstance(iter_cap, int):
+        step_limit = min(max_steps, iter_cap)
+    else:
+        step_limit = jnp.minimum(jnp.int32(max_steps), iter_cap)
 
     xs = (
         jnp.stack(o_r, axis=1),  # (C, 3, 8, L)

@@ -62,6 +62,7 @@ from fovpathtracing_optixcodelatest_tpu.models.texture import sample_bilinear_wr
 from fovpathtracing_optixcodelatest_tpu.ops import bsdf as bsdf_ops
 from fovpathtracing_optixcodelatest_tpu.ops import intersect
 from fovpathtracing_optixcodelatest_tpu.ops import probe_sampling as probe_ops
+from fovpathtracing_optixcodelatest_tpu.ops import spectrum as sp
 from fovpathtracing_optixcodelatest_tpu.ops import traverse8
 from fovpathtracing_optixcodelatest_tpu.ops.rng import ray_uniforms
 from fovpathtracing_optixcodelatest_tpu.ops.sampling import (
@@ -70,13 +71,55 @@ from fovpathtracing_optixcodelatest_tpu.ops.sampling import (
     face_forward,
 )
 
+_SPAN = sp.LAMBDA_MAX - sp.LAMBDA_MIN
+
+
+def _rgb_eval_at(rgb: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate the spectral lift of (N, 3) linear RGB at (N, K) wavelengths:
+    sum_c rgb_c * basis_c(lambda) (Smits-style RGB->spectrum basis,
+    ops/spectrum.py) without materializing the 81-bin spectra."""
+    basis = jnp.asarray(sp.RGB_BASIS, dtype=jnp.float32)  # (3, B)
+    t = (lam - sp.LAMBDA_MIN) / _SPAN * (sp.NUM_BINS - 1)
+    t = jnp.clip(t, 0.0, sp.NUM_BINS - 1)
+    i0 = jnp.minimum(t.astype(jnp.int32), sp.NUM_BINS - 2)
+    frac = t - i0
+    out = jnp.zeros_like(lam)
+    for c in range(3):
+        row = basis[c]
+        b0 = jnp.take(row, i0)
+        b1 = jnp.take(row, i0 + 1)
+        out = out + rgb[:, c : c + 1] * (b0 * (1 - frac) + b1 * frac)
+    return jnp.maximum(out, 0.0)
+
+
+def _cie_rgb_matrix(lam: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray linear map (N, 3, K): spectral sample vector -> linear sRGB.
+    Each wavelength is a uniform sample of the visible span (pdf 1/span),
+    averaged over the K hero wavelengths; Y-normalized like spectrum_to_xyz.
+    CIE integration is linear, so per-bounce spectral contributions can be
+    converted and accumulated into an RGB film carry."""
+    xbar, ybar, zbar = sp.cie_xyz_bar_jnp(lam)  # each (N, K)
+    scale = _SPAN / lam.shape[1] / sp._Y_NORM
+    xyz = jnp.stack([xbar, ybar, zbar], axis=1) * scale  # (N, 3, K)
+    m = jnp.asarray(sp.XYZ_TO_SRGB, dtype=jnp.float32)  # (3, 3)
+    return jnp.einsum("rc,nck->nrk", m, xyz)
+
 # dead-flag bit for composite i32 sort keys (flag | index); index < 2^30
 _DEAD = jnp.int32(1 << 30)
 
 
-def _closest_compacted(scene, o, d, alive, config):
+def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     """Closest-hit with alive-first packing local to the query: one 8-operand
-    sort in, one 6-operand index-keyed sort out. The carry never moves."""
+    sort in, one 6-operand index-keyed sort out. The carry never moves.
+
+    When two-phase staging applies, its straggler sort is FUSED with the
+    compaction sorts: alive-sort → phase-1 → pend-sort (carrying phase-1's
+    results) → phase-2 → ONE unsort straight to original order — 3 sorts
+    per closest-hit instead of the 4 that wrapping closest_hit_staged costs.
+
+    ``iter_cap`` overrides the phase-1 iteration budget (may be a traced
+    scalar — per-bounce caps under the scanned bounce body).
+    """
     n = o.shape[0]
     if config.traversal == "oracle":
         out = intersect.brute_force_closest_hit(
@@ -89,17 +132,23 @@ def _closest_compacted(scene, o, d, alive, config):
     # (shallow uniform pops) just pay its sorts — gate on the STATIC table
     # size (measured: +51% on a 733-row scene, -13% on a 190-row one)
     staged = config.traversal_phase1_cap > 0 and scene.bvh.num_rows > 512
-    if staged:
-        query = lambda b, oo, dd, act: traverse8.closest_hit_staged(  # noqa: E731
-            b, oo, dd, config.tmin, config.tmax, active=act,
-            phase1_cap=config.traversal_phase1_cap,
-        )
-    else:
-        query = lambda b, oo, dd, act: traverse8.closest_hit(  # noqa: E731
-            b, oo, dd, config.tmin, config.tmax, active=act
-        )
+    cap = config.traversal_phase1_cap if iter_cap is None else iter_cap
     if not config.compact_bounces:
-        return query(scene.bvh, o, d, alive)
+        if staged:
+            out = traverse8.closest_hit_staged(
+                scene.bvh, o, d, config.tmin, config.tmax, active=alive,
+                phase1_cap=cap,
+            )
+        else:
+            out = traverse8.closest_hit(
+                scene.bvh, o, d, config.tmin, config.tmax, active=alive
+            )
+        # normalize the key set: the staged/unstaged raw dicts carry
+        # 'pending', the compacted/oracle branches don't — a mixed key set
+        # breaks pytree-shape-stable callers (the catcher fori_loop carry)
+        return {
+            k: out[k] for k in ("t", "u", "v", "tri_id", "hit", "steps")
+        }
     # composite i32 key: dead<<30 | original index — unique, so the sort is
     # stable by construction AND no pred (bool) operand enters lax.sort
     # (bool operands lower to (4,1)-packed pred staging copies, measured
@@ -109,21 +158,62 @@ def _closest_compacted(scene, o, d, alive, config):
         [ikey, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]],
         num_keys=1,
     )
-    hit = query(
+    if not staged:
+        hit = traverse8.closest_hit(
+            scene.bvh,
+            jnp.stack(s[1:4], axis=1),
+            jnp.stack(s[4:7], axis=1),
+            config.tmin, config.tmax,
+            active=s[0] < _DEAD,
+        )
+        tri_or_miss = jnp.where(hit["hit"], hit["tri_id"], -1)
+        u = lax.sort(
+            [s[0] & (_DEAD - 1), hit["t"], hit["u"], hit["v"], tri_or_miss],
+            num_keys=1,
+        )
+        return {
+            "t": u[1], "u": u[2], "v": u[3],
+            "tri_id": u[4], "hit": u[4] >= 0,
+            "steps": hit["steps"],
+        }
+    # fused staged path (see closest_hit_staged for the two-phase rationale)
+    p1 = traverse8.closest_hit(
         scene.bvh,
         jnp.stack(s[1:4], axis=1),
         jnp.stack(s[4:7], axis=1),
-        s[0] < _DEAD,
+        config.tmin, config.tmax,
+        active=s[0] < _DEAD,
+        iter_cap=cap,
+        stack_cap=16,
     )
-    tri_or_miss = jnp.where(hit["hit"], hit["tri_id"], -1)
-    u = lax.sort(
-        [s[0] & (_DEAD - 1), hit["t"], hit["u"], hit["v"], tri_or_miss],
+    pend = p1["pending"] & (s[0] < _DEAD)
+    tri1 = jnp.where(p1["hit"], p1["tri_id"], -1)
+    # pend-first key keeps the ORIGINAL index in the low bits, so phase-2
+    # results unsort straight to original ray order — no intermediate unsort
+    ikey2 = jnp.where(pend, 0, _DEAD) | (s[0] & (_DEAD - 1))
+    s2 = lax.sort(
+        [ikey2, s[1], s[2], s[3], s[4], s[5], s[6],
+         p1["t"], p1["u"], p1["v"], tri1],
         num_keys=1,
     )
+    p2 = traverse8.closest_hit(
+        scene.bvh,
+        jnp.stack(s2[1:4], axis=1),
+        jnp.stack(s2[4:7], axis=1),
+        config.tmin, config.tmax,
+        active=s2[0] < _DEAD,
+        t_seed=s2[7] * (1.0 + 1e-6),
+    )
+    closer = (s2[0] < _DEAD) & p2["hit"]
+    t = jnp.where(closer, p2["t"], s2[7])
+    uu = jnp.where(closer, p2["u"], s2[8])
+    vv = jnp.where(closer, p2["v"], s2[9])
+    tri = jnp.where(closer, p2["tri_id"], s2[10])
+    fin = lax.sort([s2[0] & (_DEAD - 1), t, uu, vv, tri], num_keys=1)
     return {
-        "t": u[1], "u": u[2], "v": u[3],
-        "tri_id": u[4], "hit": u[4] >= 0,
-        "steps": hit["steps"],
+        "t": fin[1], "u": fin[2], "v": fin[3],
+        "tri_id": fin[4], "hit": fin[4] >= 0,
+        "steps": p1["steps"] + p2["steps"],
     }
 
 
@@ -180,17 +270,41 @@ def trace_paths(
         SimplePathtracer.cpp:246-260).
       traces () int32 — number of traversal queries actually walked
         (closest-hit + non-skipped occlusion; the bench metric numerator).
+
+    Spectral mode (``config.spectral``, the hero-wavelength estimator — the
+    reference's spectrum.h never renders): the SAME bounce body runs with a
+    (N, NUM_HERO) spectral throughput; RGB light/BSDF values are lifted
+    through the Smits basis at the path's hero wavelengths, transmissive
+    materials get a Cauchy eta(lambda) (``config.dispersion``), and the
+    first dispersive transmission collapses the non-hero wavelengths. CIE
+    integration is linear, so each bounce's spectral contribution converts
+    to linear sRGB on the spot and the film carry stays (N, 3).
     """
     n = origin.shape[0]
+    spectral = config.spectral
     if ray_ids is None:
         ray_ids = jnp.arange(n, dtype=jnp.int32)
     ray_ids = ray_ids.astype(jnp.int32)
     f3 = lambda v: jnp.full((n, 3), v, dtype=jnp.float32)  # noqa: E731
 
+    if spectral:
+        nh = sp.NUM_HERO
+        lam = sp.sample_hero_wavelengths(
+            ray_uniforms(jax.random.fold_in(key, 7919), ray_ids, 1)[:, 0]
+        )  # (N, NH)
+        cie_t = _cie_rgb_matrix(lam)  # (N, 3, NH)
+        lift = lambda rgb: _rgb_eval_at(rgb, lam)  # noqa: E731
+        to_rgb = lambda spec: jnp.einsum("nrk,nk->nr", cie_t, spec)  # noqa: E731
+        nch = nh
+    else:
+        lift = lambda rgb: rgb  # noqa: E731
+        to_rgb = lambda spec: spec  # noqa: E731
+        nch = 3
+
     carry = dict(
         origin=origin,
         direction=direction,
-        throughput=f3(1.0),
+        throughput=jnp.ones((n, nch), dtype=jnp.float32),
         eta=jnp.ones((n,), dtype=jnp.float32),
         radiance=f3(0.0),
         alpha=f3(0.0),
@@ -199,6 +313,8 @@ def trace_paths(
         alive=active.astype(bool),
         traces=jnp.zeros((), dtype=jnp.int32),
     )
+    if spectral:
+        carry["lam_alive"] = jnp.ones((n, nh), dtype=bool)
 
     def bounce(carry, depth):
         o = carry["origin"]
@@ -208,7 +324,14 @@ def trace_paths(
         throughput = carry["throughput"]
         primary = depth == 0
 
-        hit = _closest_compacted(scene, o, d, alive, config)
+        icap = None
+        if config.traversal_phase1_cap_primary:
+            icap = jnp.where(
+                primary,
+                jnp.int32(config.traversal_phase1_cap_primary),
+                jnp.int32(config.traversal_phase1_cap),
+            )
+        hit = _closest_compacted(scene, o, d, alive, config, iter_cap=icap)
 
         if scene.materials.has_catcher and config.catcher_passthrough > 0:
             # catcher pass-through (cu:646-651): on secondary rays a catcher
@@ -274,9 +397,22 @@ def trace_paths(
         tex_col = sample_bilinear_wrap(scene.textures, tex_id, uv)
         albedo = jnp.where((tex_id >= 0)[:, None], tex_col, m.color)
 
-        # medium interface (cu:673-683)
+        # medium interface (cu:673-683); spectral mode disperses the IOR
+        # along the hero wavelength (Cauchy eta(lambda), render/spectral.py)
+        if spectral and config.dispersion != 0.0:
+            from fovpathtracing_optixcodelatest_tpu.render.spectral import (
+                cauchy_eta,
+            )
+
+            eta_mat = jnp.where(
+                m.transmission > 0.0,
+                cauchy_eta(m.eta, lam[:, 0], config.dispersion),
+                m.eta,
+            )
+        else:
+            eta_mat = m.eta
         entering = eta_in == 1.0
-        out_eta = jnp.where(entering, m.eta, 1.0)
+        out_eta = jnp.where(entering, eta_mat, 1.0)
 
         # ---- NEE probe sampling with MIS (SampleLights/SampleShadow) ----
         u_all = ray_uniforms(jax.random.fold_in(key, depth), ray_ids, 8)
@@ -301,11 +437,13 @@ def trace_paths(
             0.0,
         )
 
-        # occlusion query only where the result can matter
+        # occlusion query only where the result can matter (the lift is a
+        # nonnegative combination, so zero RGB => zero at every wavelength)
         occl_query = hit_mask & (jnp.max(light_val, axis=1) > 0.0)
         occ = _occluded_compacted(scene, p, wi, occl_query, config)
-        nee_contrib = jnp.where((~occ)[:, None], light_val, 0.0)
-        shadow_contrib = jnp.where(occ[:, None], light_val, 0.0)
+        light_c = lift(light_val)  # (N, C)
+        nee_contrib = jnp.where((~occ)[:, None], light_c, 0.0)
+        shadow_contrib = jnp.where(occ[:, None], light_c, 0.0)
 
         vert_radiance = jnp.where(
             (~is_catcher)[:, None], throughput * nee_contrib, 0.0
@@ -313,17 +451,17 @@ def trace_paths(
         # emission on primary hits only (cu:696-698)
         vert_radiance = vert_radiance + jnp.where(
             primary & hit_mask, 1.0, 0.0
-        )[:, None] * m.emission
+        )[:, None] * lift(m.emission)
 
+        catcher_shadow = jnp.where(
+            (hit_mask & is_catcher)[:, None],
+            throughput * shadow_contrib,
+            0.0,
+        )
         alpha = jnp.where(
             (hit_mask & ~is_catcher)[:, None],
             1.0,
-            carry["alpha"]
-            + jnp.where(
-                (hit_mask & is_catcher)[:, None],
-                throughput * shadow_contrib,
-                0.0,
-            ),
+            carry["alpha"] + to_rgb(catcher_shadow),
         )
 
         # ---- BSDF sampling (cu:700-731) ----
@@ -335,18 +473,43 @@ def trace_paths(
         f_b = bsdf_ops.bsdf_eval(m, albedo, eta_in, out_eta, nrm, view, l_dir)
         transmitted = dot(l_dir, nrm) <= 0.0
         eta_out = jnp.where(hit_mask & transmitted, out_eta, eta_in)
-        new_throughput = jnp.where(
-            (hit_mask & sample_ok)[:, None],
-            throughput
-            * f_b
+        thr_scale = (
+            lift(f_b)
             * jnp.abs(dot(nrm, l_dir))[:, None]
-            / jnp.maximum(pdf, 1e-20)[:, None],
-            throughput,
+            / jnp.maximum(pdf, 1e-20)[:, None]
         )
+        if spectral:
+            # a dispersive transmission collapses the non-hero wavelengths:
+            # their refracted geometry would differ from the hero path's
+            dispersive = (
+                hit_mask & transmitted & (m.transmission > 0.0)
+                & (jnp.abs(eta_mat - m.eta) > 1e-6)
+            )
+            keep = jnp.concatenate(
+                [jnp.ones((n, 1), bool),
+                 jnp.broadcast_to((~dispersive)[:, None], (n, nh - 1))],
+                axis=1,
+            )
+            lam_alive = carry["lam_alive"]
+            new_lam_alive = lam_alive & keep
+            new_throughput = jnp.where(
+                (hit_mask & sample_ok)[:, None] & new_lam_alive,
+                throughput * thr_scale,
+                jnp.where((hit_mask & sample_ok)[:, None], 0.0, throughput),
+            )
+            vert_radiance = jnp.where(lam_alive, vert_radiance, 0.0)
+        else:
+            new_throughput = jnp.where(
+                (hit_mask & sample_ok)[:, None],
+                throughput * thr_scale,
+                throughput,
+            )
 
         # contribution gate: vertex counts only if its BSDF sample succeeded
         # (DONE-before-add ordering, cu:515-527)
-        contrib = jnp.where((hit_mask & sample_ok)[:, None], vert_radiance, 0.0)
+        contrib = to_rgb(
+            jnp.where((hit_mask & sample_ok)[:, None], vert_radiance, 0.0)
+        )
 
         # primary-hit AOVs
         take_aov = primary & hit_mask
@@ -368,6 +531,8 @@ def trace_paths(
             + jnp.sum(occl_query.astype(jnp.int32))
             + pt_traces,
         )
+        if spectral:
+            new_carry["lam_alive"] = new_lam_alive
         return new_carry, None
 
     carry, _ = lax.scan(

@@ -109,7 +109,29 @@ def generate_pass_rays(
     fy = jnp.repeat(idx_y.reshape(-1).astype(jnp.float32), k)
 
     assert spp <= RNG_STRIDE, f"spp {spp} exceeds RNG_STRIDE {RNG_STRIDE}"
-    frame_pix = (idx_y * width + idx_x).reshape(-1)  # (n_pix,) frame pixel
+    # int32 headroom: in-frame ids live in [0, W*H*RNG_STRIDE); off-frame
+    # launch coords (centered passes near the border) get a RESERVED id range
+    # above that so they can never alias an in-frame pixel's RNG stream
+    # (idx_y*width+idx_x wraps rows for negative/overflowing coords).
+    off_band = 512  # reference-class schedules stay within +-(r_outer+2)
+    virt_w = width + 2 * off_band
+    id_limit = (
+        width * height + (height + 2 * off_band) * virt_w
+    ) * RNG_STRIDE
+    if id_limit >= 2**31:
+        raise ValueError(
+            f"{width}x{height} at RNG_STRIDE {RNG_STRIDE} overflows int32 "
+            "ray ids — RNG streams would alias between distant pixels"
+        )
+    in_frame = (
+        (idx_x >= 0) & (idx_x < width) & (idx_y >= 0) & (idx_y < height)
+    )
+    cx = jnp.clip(idx_x, -off_band, width + off_band - 1)
+    cy = jnp.clip(idx_y, -off_band, height + off_band - 1)
+    off_pix = width * height + (cy + off_band) * virt_w + (cx + off_band)
+    frame_pix = jnp.where(
+        in_frame, idx_y * width + idx_x, off_pix
+    ).reshape(-1)  # (n_pix,) collision-free pixel id
     ray_ids = (
         jnp.repeat(frame_pix, k) * RNG_STRIDE + jnp.tile(sample_ids, n_pix)
     ).astype(jnp.int32)

@@ -194,3 +194,31 @@ def test_shadow_catcher_secondary_passthrough():
     assert r_pt - r_no > 0.2 and r_pt > 1.2 * r_no, (r_pt, r_no)
     # the re-trace queries are counted in the traces metric
     assert int(out_pt["traces"]) > int(out_no["traces"])
+
+
+def test_catcher_passthrough_without_compaction():
+    """Regression (ADVICE r2): with compact_bounces=False the raw traverse
+    dict used to leak a 'pending' key into the catcher fori_loop carry and
+    fail with a pytree-structure TypeError. Must run AND match the compacted
+    path bit-for-bit (compaction is a pure reordering)."""
+    catcher = Material(color=(1, 1, 1), roughness=1.0,
+                       flags=MATERIAL_FLAG_SHADOW_CATCHER)
+    floor = make_quad((-10, 0, 10), (10, 0, 10), (10, 0, -10), (-10, 0, -10),
+                      catcher)
+    blocker = make_icosphere((0, 2.0, 0), 1.2, 1,
+                             Material(color=(0.4, 0.4, 0.4), roughness=1.0))
+    scene = build_scene([floor, blocker], probe=constant_probe((2.0, 2.0, 2.0)))
+    assert scene.materials.has_catcher
+    o, d = _rays_down(256, seed=7)
+    act = jnp.ones(256, dtype=bool)
+    key = jax.random.PRNGKey(5)
+    cfg_nc = dataclasses.replace(CFG, compact_bounces=False,
+                                 catcher_passthrough=2)
+    cfg_c = dataclasses.replace(CFG, compact_bounces=True,
+                                catcher_passthrough=2)
+    out_nc = trace_paths(scene, o, d, act, key, cfg_nc)
+    out_c = trace_paths(scene, o, d, act, key, cfg_c)
+    np.testing.assert_array_equal(np.asarray(out_nc["radiance"]),
+                                  np.asarray(out_c["radiance"]))
+    np.testing.assert_array_equal(np.asarray(out_nc["alpha"]),
+                                  np.asarray(out_c["alpha"]))

@@ -104,3 +104,62 @@ def test_dispersion_produces_fringes_only_when_enabled():
     assert np.abs(r_d[hit] - r_f[hit]).mean() > 0.02
     # and it redistributes color, not energy
     assert abs(r_d.mean() - r_f.mean()) < 0.15 * r_f.mean()
+
+
+def test_spectral_frame_through_film_furnace():
+    """Frame-level furnace: config.spectral=True renders a full foveated
+    frame through render_frame (accumulation + backplate + tone map). On an
+    achromatic diffuse scene the spectral frame matches the RGB frame within
+    hero-sampling noise — the product-surface check the round-2 spectral
+    path lacked (it was library-only)."""
+    from fovpathtracing_optixcodelatest_tpu.config import (
+        FoveationPass,
+        FoveationSchedule,
+    )
+    from fovpathtracing_optixcodelatest_tpu.models.camera import Camera
+    from fovpathtracing_optixcodelatest_tpu.render import film
+    from fovpathtracing_optixcodelatest_tpu.render.renderer import render_frame
+
+    mat = Material(color=(0.9, 0.9, 0.9), metallic=0.0, roughness=1.0,
+                   specular=0.0, transmission=0.0)
+    scene = _sphere_scene(mat, probe_v=1.5)
+    w, h = 64, 48
+    schedule = FoveationSchedule(passes=(
+        FoveationPass(factor=2, spp=2, r_inner=0.0, r_outer=1e9, redraw=False),
+        FoveationPass(factor=1, spp=4, r_inner=0.0, r_outer=12.0, redraw=True,
+                      launch_w=24, launch_h=24, centered=True,
+                      center_offset=12),
+    ))
+    cam = Camera(eye=(0, 0.3, 3.5), lookat=(0, 0, 0), fov_y=45.0,
+                 aspect=w / h)
+    camp = cam.device_params()
+    pad = film.schedule_padding(schedule, w, h)
+    gx = jnp.asarray(w // 2, jnp.int32)
+    gy = jnp.asarray(h // 2, jnp.int32)
+    key = jax.random.PRNGKey(9)
+
+    frames = {}
+    for name, spec in (("rgb", False), ("spectral", True)):
+        cfg = dataclasses.replace(CFG, width=w, height=h, spectral=spec)
+        canvas = film.new_canvas(w, h, pad)
+        canvas, frame, stats = render_frame(
+            scene, camp, gx, gy, jnp.asarray(0, jnp.int32), canvas, key,
+            cfg, schedule)
+        frames[name] = np.asarray(frame).astype(np.float32) / 255.0
+        assert int(stats["traces"]) > 0
+    diff = np.abs(frames["rgb"] - frames["spectral"]).mean()
+    assert diff < 0.04, f"spectral frame deviates from RGB furnace: {diff}"
+    assert np.isfinite(frames["spectral"]).all()
+
+
+def test_spectral_cli_flag(tmp_path):
+    """--spectral end-to-end through the CLI driver."""
+    from fovpathtracing_optixcodelatest_tpu.apps.main import main as cli_main
+
+    out = tmp_path / "spec.png"
+    rc = cli_main([
+        "--scene", "furnace", "--width", "48", "--height", "32",
+        "--frames", "1", "--schedule", "uniform:2", "--spectral",
+        "--out", str(out),
+    ])
+    assert rc == 0 and out.exists() and out.stat().st_size > 100
