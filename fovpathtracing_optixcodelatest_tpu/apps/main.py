@@ -46,8 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--gaze-mode", default="static", choices=["static", "orbit"],
                    help="static center (STATIC_ON) or animated gaze")
     p.add_argument("--camera-mode", default="static",
-                   choices=["static", "per_frame"],
-                   help="camera motion (PER_FRAME benchmarking orbit)")
+                   choices=["static", "per_frame", "per_time"],
+                   help="camera motion: PER_FRAME counter orbit or PER_TIME "
+                        "wall-clock dolly (main.cpp:373-398)")
     p.add_argument("--no-accumulate", action="store_true")
     p.add_argument("--out", default=None, help="output PNG path (last frame)")
     p.add_argument("--aov-out", default=None,
@@ -204,6 +205,18 @@ def main(argv=None) -> int:
                 float(base_eye[0] * math.cos(ang) - base_eye[2] * math.sin(ang)),
                 float(base_eye[1]),
                 float(base_eye[0] * math.sin(ang) + base_eye[2] * math.cos(ang)),
+            )
+            renderer.set_camera(dataclasses.replace(cam, eye=eye))
+        elif args.camera_mode == "per_time":
+            # PER_TIME (main.cpp:391-393): eye.z = cos(wall_time) * radius
+            import time as _time
+
+            radius = float(
+                np.linalg.norm(base_eye - np.asarray(cam.lookat))
+            )
+            eye = (
+                float(base_eye[0]), float(base_eye[1]),
+                float(math.cos(_time.perf_counter()) * radius),
             )
             renderer.set_camera(dataclasses.replace(cam, eye=eye))
         timers.end("state_update")

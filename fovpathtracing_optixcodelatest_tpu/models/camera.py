@@ -75,12 +75,18 @@ jax.tree_util.register_dataclass(
 @dataclasses.dataclass
 class Trackball:
     """Lat/long orbit around a reference frame (sutil/Trackball.cpp behavior:
-    latitude clamped to (-90, 90), longitude wraps, zoom scales eye distance)."""
+    latitude clamped to (-90, 90), longitude wraps, zoom scales eye distance).
+
+    ``view_mode`` mirrors Trackball.h:74-78 ViewMode: "lookat_fixed" orbits
+    the EYE around the lookat point (the default); "eye_fixed" pivots the
+    LOOKAT around a fixed eye — first-person look-around
+    (Trackball.cpp updateCamera: lookat = eye - dir * distance)."""
 
     camera: Camera
     latitude: float = 0.0  # radians
     longitude: float = 0.0  # radians
     move_speed: float = 10.0
+    view_mode: str = "lookat_fixed"  # or "eye_fixed"
     # reference frame (sutil default is the trackball's world frame; main.cpp
     # sets x=(1,0,0), y=(0,0,1), z=(0,1,0))
     frame_u: Tuple[float, float, float] = (1.0, 0.0, 0.0)
@@ -102,16 +108,20 @@ class Trackball:
         self.longitude = math.atan2(float(np.dot(dn, v)), float(np.dot(dn, u)))
 
     def _eye_from_angles(self, radius: float) -> np.ndarray:
+        return np.asarray(self.camera.lookat) + radius * self._dir_from_angles()
+
+    def _dir_from_angles(self) -> np.ndarray:
         u = np.asarray(self.frame_u)
         v = np.asarray(self.frame_v)
         w = np.asarray(self.frame_w)
         cl, sl = math.cos(self.latitude), math.sin(self.latitude)
         co, so = math.cos(self.longitude), math.sin(self.longitude)
-        dirn = cl * co * u + cl * so * v + sl * w
-        return np.asarray(self.camera.lookat) + radius * dirn
+        return cl * co * u + cl * so * v + sl * w
 
     def orbit(self, dx: float, dy: float) -> Camera:
-        """Rotate by screen-space deltas (pixels); returns the updated camera."""
+        """Rotate by screen-space deltas (pixels); returns the updated camera.
+        lookat_fixed moves the eye on the orbit sphere; eye_fixed pivots the
+        lookat about the eye (Trackball.cpp updateCamera)."""
         self.longitude = (self.longitude - 0.005 * dx) % (2 * math.pi)
         self.latitude = float(
             np.clip(self.latitude + 0.005 * dy, -0.5 * math.pi + 1e-3, 0.5 * math.pi - 1e-3)
@@ -119,8 +129,17 @@ class Trackball:
         eye = np.asarray(self.camera.eye, dtype=np.float64)
         lookat = np.asarray(self.camera.lookat, dtype=np.float64)
         radius = float(np.linalg.norm(eye - lookat))
-        new_eye = self._eye_from_angles(radius)
-        self.camera = dataclasses.replace(self.camera, eye=tuple(map(float, new_eye)))
+        dirn = self._dir_from_angles()
+        if self.view_mode == "eye_fixed":
+            new_lookat = eye - radius * dirn
+            self.camera = dataclasses.replace(
+                self.camera, lookat=tuple(map(float, new_lookat))
+            )
+        else:
+            new_eye = lookat + radius * dirn
+            self.camera = dataclasses.replace(
+                self.camera, eye=tuple(map(float, new_eye))
+            )
         return self.camera
 
     def zoom(self, direction: int) -> Camera:

@@ -70,3 +70,32 @@ def build_scene(
     return Scene(
         geom=geom, bvh=bvh, materials=materials, textures=textures, probe=probe
     )
+
+
+def build_scene_instanced(
+    instanced_scene,
+    probe: Optional[ProbeParams] = None,
+    texture_images: Optional[Sequence[np.ndarray]] = None,
+) -> Scene:
+    """RENDER-TIME instancing (sutil/Scene.h:113-115 IAS/GAS twin): device
+    geometry and BVH memory scale with UNIQUE meshes; instances live as a
+    TLAS + transform rows in the unified traversal table (ops/tlas.py).
+    Contrast ``build_scene(instanced_scene.flatten())``, which expands every
+    instance to world space host-side (round 2's layout).
+    """
+    from fovpathtracing_optixcodelatest_tpu.ops import tlas
+
+    geom, materials = flatten_meshes(instanced_scene.unique)
+    unique_tris, mesh_ids, mats = tlas.scene_tables_from_instanced(
+        instanced_scene
+    )
+    bvh = tlas.build_instanced(unique_tris, mesh_ids, mats)
+    if probe is None:
+        probe = constant_probe((2.5, 2.5, 2.5))
+    tex_src = texture_images
+    if tex_src is None:
+        tex_src = instanced_scene.textures
+    textures = build_texture_array(list(tex_src or []))
+    return Scene(
+        geom=geom, bvh=bvh, materials=materials, textures=textures, probe=probe
+    )

@@ -13,7 +13,7 @@ up to >=512 B — measured, see PLAN.md). So the win is *fewer, fatter* rows:
 - child metadata is pre-encoded as the traversal's own entry code (one i32
   per child), so expansion needs no [a, kind] decode.
 
-Node row layout (W = max(4A, 9*leaf_size) f32 columns; first M rows):
+Node row layout (W = max(4A, 10*leaf_size) f32 columns; first M rows):
   cols [3c + a], c < A, a < 3: uint32 = (bf16_bits(lo_a) << 16)
                                       | bf16_bits(hi_a), bitcast to f32.
     decode: u = bitcast_u32(col); lo = bitcast_f32(u & 0xFFFF0000);
@@ -23,8 +23,13 @@ Node row layout (W = max(4A, 9*leaf_size) f32 columns; first M rows):
     <  0  leaf child: -(unified leaf row + 1)
     EMPTY (INT32_MIN) empty slot.
 Leaf rows (rows M..U): leaf_size packed triangles [v0, e1, e2] f32; unused
-slots degenerate (all-zero => det == 0 => never hit). leaf_perm maps
-(row, slot) -> original triangle id.
+slots degenerate (all-zero => det == 0 => never hit); cols
+[9*leaf_size + k] carry slot k's ORIGINAL triangle id (i32 bitcast, -1 pad)
+so the winning hit's tri id falls out of the row gather already in hand — a
+separate leaf_perm gather at the batch epilogue measured ~18 ms at 1.9M
+rays on the v5e (gathers from small 1-D tables are element-rate-bound; the
+row gather is row-rate-bound so 14 extra columns are free). leaf_perm
+still maps (row, slot) -> original triangle id for host-side tooling.
 
 Conservative bf16 boxes only ADD false-positive box hits; hit results stay
 exactly equal to full-precision traversal (leaf tests are f32).
@@ -67,17 +72,32 @@ class WideBVH:
     packed: bool = True
     # static: worst-case stack entries = (arity-1) * height + 2
     stack_depth: int = 28
+    # two-level (instanced) tables (ops/tlas.py): rows [0, inst_base) are
+    # TLAS nodes, [inst_base, blas_base) are instance rows (root code +
+    # inverse transform), [blas_base, U) are the per-unique-mesh BLAS
+    # forests. num_instances == 0 -> single-level (the default layout).
+    num_instances: int = 0
+    inst_base: int = 0
+    blas_base: int = 0
 
     @property
     def num_rows(self) -> int:
         return self.table.shape[0]
 
+    @property
+    def instanced(self) -> bool:
+        return self.num_instances > 0
+
 
 jax.tree_util.register_dataclass(
     WideBVH,
     data_fields=["table", "leaf_perm"],
-    meta_fields=["leaf_size", "arity", "packed", "stack_depth"],
+    meta_fields=["leaf_size", "arity", "packed", "stack_depth",
+                 "num_instances", "inst_base", "blas_base"],
 )
+
+# instance entry code flag (two-level tables): code = INST_BIT | instance_id
+INST_BIT = np.int32(1 << 29)
 
 
 def _bf16_down_bits(x: np.ndarray) -> np.ndarray:
@@ -123,9 +143,12 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
     num_leaves = max(len(lw), 1)
     s_len = len(order_slots)
     u = m + num_leaves
-    width = max(4 * arity, 9 * leaf_size)
+    width = max(4 * arity, 10 * leaf_size)
 
     table = np.zeros((u, width), dtype=np.float32)
+    table[:, 9 * leaf_size : 10 * leaf_size] = np.float32(
+        np.int32(-1).view(np.float32)
+    )
     leaf_perm = np.full((u, leaf_size), -1, dtype=np.int32)
 
     # --- leaf rows -------------------------------------------------------
@@ -146,6 +169,9 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
         packed = np.concatenate([v0, e1, e2], axis=-1)  # (L, leaf_size, 9)
         packed[~valid] = 0.0
         table[m:, : 9 * leaf_size] = packed.reshape(len(lw), 9 * leaf_size)
+        table[m:, 9 * leaf_size : 10 * leaf_size] = (
+            tid.astype(np.int32).view(np.float32)
+        )
         leaf_perm[m:] = tid.astype(np.int32)
         # leaf entry code addresses the unified row, one's-complement-offset
         entry[lw, ls] = -(m + np.arange(len(lw), dtype=np.int32)) - 1

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import EMPTY, WideBVH
+from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import EMPTY, INST_BIT, WideBVH
 
 # Default ray-chunk length: each chunk runs its own while_loop under lax.map,
 # so a chunk of early-finishing rays stops at ITS max pop count instead of the
@@ -89,12 +89,16 @@ def _sort_desc(keys, *val_lists):
     return (k, *vs)
 
 
-def _gather_row(table, entry, is_leaf):
-    """ONE unified row gather per step: node rows and leaf rows live in the
-    same (U, W) table, so entry type never costs a second gather.
+def _gather_row(table, entry, is_leaf, bvh=None, is_inst=None):
+    """ONE unified row gather per step: node, leaf AND instance rows live in
+    the same (U, W) table, so entry type never costs a second gather.
 
     Returns W planes of (8, L)."""
     row = jnp.where(is_leaf, -entry - 1, jnp.maximum(entry, 0))  # (8, L)
+    if is_inst is not None:
+        row = jnp.where(
+            is_inst, bvh.inst_base + (entry & (INST_BIT - 1)), row
+        )
     g = jnp.take(table, row, axis=0)  # (8, L, W)
     gt = jnp.transpose(g, (2, 0, 1))  # (W, 8, L) — the one relayout per step
     return gt
@@ -225,7 +229,7 @@ def _pop_fresh(stack, tn_stack, sp, tlimit, drains: int):
         consumed = consumed + advance.astype(jnp.int32)
     sp = jnp.maximum(sp - consumed, 0)
     fresh = has & (tn <= tlimit)
-    return entry, sp, fresh
+    return entry, tn, sp, fresh
 
 
 def _push2(stack, tn_stack, sp, entries_c, tns_c, cnt):
@@ -303,11 +307,37 @@ def _batch_tiles(origin, direction, active, chunk, t_seed=None):
     return o_r, d_r, inv_r, sp0, t0, c, l, n
 
 
+def _apply_inv_transform(gt, o_r, d_r):
+    """Object-space ray from an instance row's inverse transform
+    (x_obj = A x_world + b; direction left unnormalized so t stays
+    world-scale). gt cols: [root_code, A row-major 9, b 3]."""
+    op, dp = [], []
+    for a in range(3):
+        r0, r1, r2 = gt[1 + 3 * a], gt[2 + 3 * a], gt[3 + 3 * a]
+        op.append(r0 * o_r[0] + r1 * o_r[1] + r2 * o_r[2] + gt[10 + a])
+        dp.append(r0 * d_r[0] + r1 * d_r[1] + r2 * d_r[2])
+    ip = [
+        1.0 / jnp.where(jnp.abs(c) < 1e-12, jnp.where(c < 0, -1e-12, 1e-12), c)
+        for c in dp
+    ]
+    return op, dp, ip
+
+
 def _closest_loop(bvh, o_r, d_r, inv_r, sp0, t0, tmin, tmax, step_limit,
                   depth):
     """The per-chunk closest-hit while_loop on pre-tiled (8, L) inputs.
-    Returns (t, u, v, best, overflow, steps)."""
+    Returns (t, u, v, best, best_inst, overflow, steps).
+
+    Two-level (instanced) tables add per-lane space tracking: popping an
+    instance code (INST_BIT set) loads the row's inverse transform, primes
+    the lane's object-space ray, and pushes the BLAS root (one iteration);
+    stack discipline guarantees at most one instance's BLAS rows are live on
+    a lane's stack, so a single ``cur`` register tracks the space. Popping a
+    TLAS node restores world space. Statically compiled out when
+    ``bvh.num_instances == 0``.
+    """
     l = sp0.shape[-1]
+    instanced = bvh.num_instances > 0
     state = (
         jnp.zeros((depth, SUB, l), dtype=jnp.int32),
         jnp.full((depth, SUB, l), -jnp.inf, jnp.float32),
@@ -319,47 +349,104 @@ def _closest_loop(bvh, o_r, d_r, inv_r, sp0, t0, tmin, tmax, step_limit,
         jnp.zeros((SUB, l), dtype=jnp.int32),  # overflowed
         jnp.zeros((), dtype=jnp.int32),
     )
+    if instanced:
+        state = state + (
+            jnp.full((SUB, l), -1, dtype=jnp.int32),  # cur instance
+            jnp.full((SUB, l), -1, dtype=jnp.int32),  # best-hit instance
+            tuple(o_r), tuple(d_r), tuple(inv_r),  # primed (object) ray
+        )
 
     def cond(s):
         return jnp.any(s[2] > 0) & (s[8] < step_limit)
 
     def body(s):
-        stack, tn_stack, sp, t, u, v, best, overflow, steps = s
+        stack, tn_stack, sp, t, u, v, best, overflow, steps = s[:9]
+        if instanced:
+            cur, best_inst, op, dp, ip = s[9:]
+            op, dp, ip = list(op), list(dp), list(ip)
         tlimit = jnp.minimum(t, tmax)
-        entry, sp, fresh = _pop_fresh(stack, tn_stack, sp, tlimit, drains=2)
-        is_node = fresh & (entry >= 0)
-        is_leaf = fresh & (entry < 0)
-        gt = _gather_row(bvh.table, entry, is_leaf)
+        entry, tn_pop, sp, fresh = _pop_fresh(
+            stack, tn_stack, sp, tlimit, drains=2
+        )
+        if instanced:
+            is_inst = fresh & (entry >= 0) & ((entry & INST_BIT) != 0)
+            is_node = fresh & (entry >= 0) & ~is_inst
+            is_leaf = fresh & (entry < 0)
+            row_inst = is_inst
+        else:
+            is_node = fresh & (entry >= 0)
+            is_leaf = fresh & (entry < 0)
+            row_inst = None
+        gt = _gather_row(bvh.table, entry, is_leaf, bvh, row_inst)
+
+        if instanced:
+            # space transitions: TLAS node -> world; instance pop -> primed
+            node_world = is_node & (entry < bvh.blas_base)
+            n_op, n_dp, n_ip = _apply_inv_transform(gt, o_r, d_r)
+            for a in range(3):
+                op[a] = jnp.where(is_inst, n_op[a], op[a])
+                dp[a] = jnp.where(is_inst, n_dp[a], dp[a])
+                ip[a] = jnp.where(is_inst, n_ip[a], ip[a])
+            cur = jnp.where(
+                is_inst, entry & (INST_BIT - 1),
+                jnp.where(node_world, -1, cur),
+            )
+            o_use = [jnp.where(node_world, o_r[a], op[a]) for a in range(3)]
+            inv_use = [
+                jnp.where(node_world, inv_r[a], ip[a]) for a in range(3)
+            ]
+            o_leaf, d_leaf = op, dp
+        else:
+            o_use, inv_use = o_r, inv_r
+            o_leaf, d_leaf = o_r, d_r
 
         hits, tns, entries = _expand(
-            gt, is_node, o_r, inv_r, tmin, tlimit, bvh.arity
+            gt, is_node, o_use, inv_use, tmin, tlimit, bvh.arity
         )
         keys = [jnp.where(h, tn, -jnp.inf) for h, tn in zip(hits, tns)]
         keys_c, entries_c, tns_c = _sort_desc(keys, entries, tns)
         cnt = hits[0].astype(jnp.int32)
         for h in hits[1:]:
             cnt = cnt + h.astype(jnp.int32)
+        if instanced:
+            # instance redirect: push the BLAS root with the instance's tn
+            root_code = lax.bitcast_convert_type(gt[0], jnp.int32)
+            entries_c = list(entries_c)
+            tns_c = list(tns_c)
+            entries_c[0] = jnp.where(is_inst, root_code, entries_c[0])
+            tns_c[0] = jnp.where(is_inst, tn_pop, tns_c[0])
+            cnt = jnp.where(is_inst, 1, cnt)
         if depth < bvh.stack_depth:
             overflow = overflow | (sp + cnt > depth).astype(jnp.int32)
         stack, tn_stack, sp = _push2(
             stack, tn_stack, sp, entries_c, tns_c, cnt
         )
 
-        leaf = jnp.where(is_leaf, -entry - 1, 0)
         leaf_out = _leaf_hits(
-            gt, is_leaf, o_r, d_r, tmin, tmax, False, bvh.leaf_size
+            gt, is_leaf, o_leaf, d_leaf, tmin, tmax, False, bvh.leaf_size
         )
         for k, (hit_k, t_k, u_k, v_k) in enumerate(leaf_out):
             better = hit_k & (t_k < t)
             t = jnp.where(better, t_k, t)
             u = jnp.where(better, u_k, u)
             v = jnp.where(better, v_k, v)
-            best = jnp.where(better, leaf * bvh.leaf_size + k, best)
-        return (stack, tn_stack, sp, t, u, v, best, overflow, steps + 1)
+            # slot k's ORIGINAL tri id rides in the gathered row (bvh8.py)
+            tid_k = lax.bitcast_convert_type(
+                gt[9 * bvh.leaf_size + k], jnp.int32
+            )
+            best = jnp.where(better, tid_k, best)
+            if instanced:
+                best_inst = jnp.where(better, cur, best_inst)
+        out = (stack, tn_stack, sp, t, u, v, best, overflow, steps + 1)
+        if instanced:
+            out = out + (cur, best_inst, tuple(op), tuple(dp), tuple(ip))
+        return out
 
     out = lax.while_loop(cond, body, state)
     pending = ((out[2] > 0) | (out[7] > 0)).astype(jnp.int32)
-    return out[3], out[4], out[5], out[6], pending, out[8]
+    # dummy scalar keeps the lax.map output arity fixed when not instanced
+    best_inst = out[10] if instanced else jnp.zeros((), jnp.int32)
+    return out[3], out[4], out[5], out[6], best_inst, pending, out[8]
 
 
 def closest_hit_staged(
@@ -419,12 +506,14 @@ def closest_hit_staged(
         t_seed=s[7] * (1.0 + 1e-6),
     )
     tri_or_miss = jnp.where(p2s["hit"], p2s["tri_id"], -1)
+    instanced = bvh.num_instances > 0
     u = lax.sort(
-        [s[0] & (done_bit - 1), p2s["t"], p2s["u"], p2s["v"], tri_or_miss],
+        [s[0] & (done_bit - 1), p2s["t"], p2s["u"], p2s["v"], tri_or_miss]
+        + ([p2s["inst"]] if instanced else []),
         num_keys=1,
     )
     closer = pend & (u[4] >= 0)
-    return {
+    out = {
         "t": jnp.where(closer, u[1], p1["t"]),
         "u": jnp.where(closer, u[2], p1["u"]),
         "v": jnp.where(closer, u[3], p1["v"]),
@@ -433,6 +522,9 @@ def closest_hit_staged(
         "pending": jnp.zeros_like(pend),
         "steps": p1["steps"] + p2s["steps"],
     }
+    if instanced:
+        out["inst"] = jnp.where(closer, u[5], p1["inst"])
+    return out
 
 
 def closest_hit(
@@ -507,27 +599,29 @@ def closest_hit(
 
     if c == 1:
         outs = step(tuple(x[0] for x in xs))
-        t, u, v, best, pending, steps = outs
+        t, u, v, best, inst, pending, steps = outs
         steps_total = steps
     else:
-        t, u, v, best, pending, steps = jax.lax.map(step, xs)
+        t, u, v, best, inst, pending, steps = jax.lax.map(step, xs)
         steps_total = jnp.sum(steps)
 
-    # batch-level epilogue: one reshape set + one tri-id gather
+    # batch-level epilogue: reshapes only — the winning tri id was read off
+    # the gathered leaf row in-loop (an epilogue leaf_perm gather measured
+    # ~18 ms at 1.9M rays; gathers from small 1-D tables are
+    # element-rate-bound on TPU)
     best_f = best.reshape(-1)[:n0]
-    perm_flat = bvh.leaf_perm.reshape(-1)
-    tri_id = jnp.where(
-        best_f >= 0, jnp.take(perm_flat, jnp.maximum(best_f, 0)), -1
-    )
-    return {
+    out = {
         "t": t.reshape(-1)[:n0],
-        "tri_id": tri_id,
+        "tri_id": best_f,
         "u": u.reshape(-1)[:n0],
         "v": v.reshape(-1)[:n0],
         "hit": best_f >= 0,
         "pending": pending.reshape(-1)[:n0] > 0,
         "steps": steps_total,
     }
+    if bvh.num_instances > 0:
+        out["inst"] = inst.reshape(-1)[:n0]
+    return out
 
 
 def occluded(
@@ -554,6 +648,8 @@ def occluded(
         origin, direction, active, chunk
     )
 
+    instanced = bvh.num_instances > 0
+
     def loop(o_t, d_t, inv_t, sp_init):
         state = (
             jnp.zeros((bvh.stack_depth, SUB, l), dtype=jnp.int32),
@@ -561,36 +657,69 @@ def occluded(
             jnp.zeros((SUB, l), dtype=bool),  # occ
             jnp.zeros((), dtype=jnp.int32),
         )
+        if instanced:
+            state = state + (tuple(o_t), tuple(d_t), tuple(inv_t))
 
         def cond(s):
             return jnp.any(s[1] > 0) & (s[3] < max_steps)
 
         def body(s):
-            stack, sp, occ, steps = s
+            stack, sp, occ, steps = s[:4]
+            if instanced:
+                op, dp, ip = (list(x) for x in s[4:])
             sp = jnp.where(occ, 0, sp)  # occluded rays drop remaining work
             entry, sp, has = _pop(stack, sp)
-            is_node = has & (entry >= 0)
-            is_leaf = has & (entry < 0)
-            gt = _gather_row(bvh.table, entry, is_leaf)
+            if instanced:
+                is_inst = has & (entry >= 0) & ((entry & INST_BIT) != 0)
+                is_node = has & (entry >= 0) & ~is_inst
+                is_leaf = has & (entry < 0)
+                gt = _gather_row(bvh.table, entry, is_leaf, bvh, is_inst)
+                node_world = is_node & (entry < bvh.blas_base)
+                n_op, n_dp, n_ip = _apply_inv_transform(gt, o_t, d_t)
+                for a in range(3):
+                    op[a] = jnp.where(is_inst, n_op[a], op[a])
+                    dp[a] = jnp.where(is_inst, n_dp[a], dp[a])
+                    ip[a] = jnp.where(is_inst, n_ip[a], ip[a])
+                o_use = [
+                    jnp.where(node_world, o_t[a], op[a]) for a in range(3)
+                ]
+                inv_use = [
+                    jnp.where(node_world, inv_t[a], ip[a]) for a in range(3)
+                ]
+                o_leaf, d_leaf = op, dp
+            else:
+                is_node = has & (entry >= 0)
+                is_leaf = has & (entry < 0)
+                gt = _gather_row(bvh.table, entry, is_leaf)
+                o_use, inv_use = o_t, inv_t
+                o_leaf, d_leaf = o_t, d_t
 
             tlim = jnp.full_like(sp, tmax, dtype=jnp.float32)
             hits, _tns, entries = _expand(
-                gt, is_node, o_t, inv_t, tmin, tlim, bvh.arity
+                gt, is_node, o_use, inv_use, tmin, tlim, bvh.arity
             )
             keys = [h.astype(jnp.float32) for h in hits]  # hits first
             _, entries_c = _sort_desc(keys, entries)
             cnt = hits[0].astype(jnp.int32)
             for h in hits[1:]:
                 cnt = cnt + h.astype(jnp.int32)
+            if instanced:
+                root_code = lax.bitcast_convert_type(gt[0], jnp.int32)
+                entries_c = list(entries_c)
+                entries_c[0] = jnp.where(is_inst, root_code, entries_c[0])
+                cnt = jnp.where(is_inst, 1, cnt)
             stack, sp = _push(stack, sp, entries_c, cnt)
 
             leaf_out = _leaf_hits(
-                gt, is_leaf, o_t, d_t, tmin, tmax, cull_backface,
+                gt, is_leaf, o_leaf, d_leaf, tmin, tmax, cull_backface,
                 bvh.leaf_size
             )
             for hit_k, _t, _u, _v in leaf_out:
                 occ = occ | hit_k
-            return (stack, sp, occ, steps + 1)
+            out = (stack, sp, occ, steps + 1)
+            if instanced:
+                out = out + (tuple(op), tuple(dp), tuple(ip))
+            return out
 
         out = lax.while_loop(cond, body, state)
         return out[2].astype(jnp.int32)

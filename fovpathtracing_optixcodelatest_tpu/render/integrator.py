@@ -121,7 +121,11 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     scalar — per-bounce caps under the scanned bounce body).
     """
     n = o.shape[0]
+    inst_keys = ("inst",) if scene.bvh.instanced else ()
     if config.traversal == "oracle":
+        assert not scene.bvh.instanced, (
+            "oracle traversal needs flattened geometry"
+        )
         out = intersect.brute_force_closest_hit(
             scene.geom, o, d, config.tmin, config.tmax
         )
@@ -147,7 +151,8 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
         # 'pending', the compacted/oracle branches don't — a mixed key set
         # breaks pytree-shape-stable callers (the catcher fori_loop carry)
         return {
-            k: out[k] for k in ("t", "u", "v", "tri_id", "hit", "steps")
+            k: out[k]
+            for k in ("t", "u", "v", "tri_id", "hit", "steps") + inst_keys
         }
     # composite i32 key: dead<<30 | original index — unique, so the sort is
     # stable by construction AND no pred (bool) operand enters lax.sort
@@ -168,14 +173,18 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
         )
         tri_or_miss = jnp.where(hit["hit"], hit["tri_id"], -1)
         u = lax.sort(
-            [s[0] & (_DEAD - 1), hit["t"], hit["u"], hit["v"], tri_or_miss],
+            [s[0] & (_DEAD - 1), hit["t"], hit["u"], hit["v"], tri_or_miss]
+            + ([hit["inst"]] if inst_keys else []),
             num_keys=1,
         )
-        return {
+        out = {
             "t": u[1], "u": u[2], "v": u[3],
             "tri_id": u[4], "hit": u[4] >= 0,
             "steps": hit["steps"],
         }
+        if inst_keys:
+            out["inst"] = u[5]
+        return out
     # fused staged path (see closest_hit_staged for the two-phase rationale)
     p1 = traverse8.closest_hit(
         scene.bvh,
@@ -193,7 +202,8 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     ikey2 = jnp.where(pend, 0, _DEAD) | (s[0] & (_DEAD - 1))
     s2 = lax.sort(
         [ikey2, s[1], s[2], s[3], s[4], s[5], s[6],
-         p1["t"], p1["u"], p1["v"], tri1],
+         p1["t"], p1["u"], p1["v"], tri1]
+        + ([p1["inst"]] if inst_keys else []),
         num_keys=1,
     )
     p2 = traverse8.closest_hit(
@@ -209,12 +219,18 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     uu = jnp.where(closer, p2["u"], s2[8])
     vv = jnp.where(closer, p2["v"], s2[9])
     tri = jnp.where(closer, p2["tri_id"], s2[10])
-    fin = lax.sort([s2[0] & (_DEAD - 1), t, uu, vv, tri], num_keys=1)
-    return {
+    fin_ops = [s2[0] & (_DEAD - 1), t, uu, vv, tri]
+    if inst_keys:
+        fin_ops.append(jnp.where(closer, p2["inst"], s2[11]))
+    fin = lax.sort(fin_ops, num_keys=1)
+    out = {
         "t": fin[1], "u": fin[2], "v": fin[3],
         "tri_id": fin[4], "hit": fin[4] >= 0,
         "steps": p1["steps"] + p2["steps"],
     }
+    if inst_keys:
+        out["inst"] = fin[5]
+    return out
 
 
 def _occluded_compacted(scene, p, wi, query, config):
@@ -356,9 +372,11 @@ def trace_paths(
                 p_hit = o_eff + h["t"][:, None] * d
                 o2 = jnp.where(thru[:, None], p_hit, o_eff)
                 h2 = _closest_compacted(scene, o2, d, thru, config)
+                merge_keys = ("t", "u", "v", "tri_id", "hit")
+                if scene.bvh.instanced:
+                    merge_keys = merge_keys + ("inst",)
                 merged = {
-                    k: jnp.where(thru, h2[k], h[k])
-                    for k in ("t", "u", "v", "tri_id", "hit")
+                    k: jnp.where(thru, h2[k], h[k]) for k in merge_keys
                 }
                 merged["steps"] = h["steps"] + h2["steps"]
                 return o2, merged, extra + jnp.sum(thru.astype(jnp.int32))
@@ -379,6 +397,30 @@ def trace_paths(
         # SceneGeometry.tri_pack; separate per-field gathers profiled hot)
         attr = jnp.take(scene.geom.tri_pack, tri, axis=0)  # (N, 12)
         ng = attr[:, 0:3]
+        if scene.bvh.instanced:
+            # two-level hit: geometry (and its normals) is OBJECT-space —
+            # world normal = A^T n_obj where x_obj = A x_world + b is the
+            # instance's inverse transform (ops/tlas.py row layout)
+            irow = jnp.take(
+                scene.bvh.table,
+                scene.bvh.inst_base + jnp.maximum(hit["inst"], 0),
+                axis=0,
+            )
+            a_m = irow[:, 1:10]  # A row-major
+            ngw = jnp.stack(
+                [
+                    a_m[:, 0] * ng[:, 0] + a_m[:, 3] * ng[:, 1]
+                    + a_m[:, 6] * ng[:, 2],
+                    a_m[:, 1] * ng[:, 0] + a_m[:, 4] * ng[:, 1]
+                    + a_m[:, 7] * ng[:, 2],
+                    a_m[:, 2] * ng[:, 0] + a_m[:, 5] * ng[:, 1]
+                    + a_m[:, 8] * ng[:, 2],
+                ],
+                axis=1,
+            )
+            ng = ngw / jnp.maximum(
+                jnp.linalg.norm(ngw, axis=1, keepdims=True), 1e-20
+            )
         nrm = face_forward(ng, -d)  # faceforward(N0, -ray_dir, N0) (cu:634)
 
         mat_id = lax.bitcast_convert_type(attr[:, 9], jnp.int32)

@@ -173,3 +173,42 @@ def test_foveation_sweep_schedules():
     u = FoveationSchedule.uniform(4)
     assert len(u.passes) == 1 and u.passes[0].spp == 4
     assert dataclasses.asdict(u.passes[0])["factor"] == 1
+
+
+def test_trackball_eye_fixed_mode():
+    """Trackball.h:74-78 ViewMode parity: eye_fixed pivots the LOOKAT about a
+    fixed eye (first-person look-around); lookat_fixed orbits the EYE. Both
+    preserve the eye-lookat distance."""
+    import dataclasses as _dc
+
+    from fovpathtracing_optixcodelatest_tpu.models.camera import (
+        Camera,
+        Trackball,
+    )
+
+    cam = Camera(eye=(3.0, 1.0, 0.0), lookat=(0.0, 0.0, 0.0))
+    r0 = np.linalg.norm(np.asarray(cam.eye) - np.asarray(cam.lookat))
+
+    tb = Trackball(camera=cam, view_mode="eye_fixed")
+    tb.reinitialize_from_camera()
+    c2 = tb.orbit(40.0, -25.0)
+    assert c2.eye == cam.eye  # eye pinned
+    assert c2.lookat != cam.lookat  # view direction moved
+    r2 = np.linalg.norm(np.asarray(c2.eye) - np.asarray(c2.lookat))
+    np.testing.assert_allclose(r2, r0, rtol=1e-6)
+
+    tb3 = Trackball(camera=cam, view_mode="lookat_fixed")
+    tb3.reinitialize_from_camera()
+    c3 = tb3.orbit(40.0, -25.0)
+    assert c3.lookat == cam.lookat  # pivot pinned
+    assert c3.eye != cam.eye
+    r3 = np.linalg.norm(np.asarray(c3.eye) - np.asarray(c3.lookat))
+    np.testing.assert_allclose(r3, r0, rtol=1e-6)
+    # same deltas, complementary modes: the new view DIRECTION matches
+    d_eye_fixed = np.asarray(c2.lookat) - np.asarray(c2.eye)
+    d_look_fixed = np.asarray(c3.lookat) - np.asarray(c3.eye)
+    np.testing.assert_allclose(
+        d_eye_fixed / np.linalg.norm(d_eye_fixed),
+        d_look_fixed / np.linalg.norm(d_look_fixed),
+        atol=1e-6,
+    )
