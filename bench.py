@@ -86,7 +86,7 @@ def main() -> None:
         )
     _ = np.asarray(stats["traces"])
 
-    n_frames = 6
+    n_frames = 12  # amortize the single ~0.6 s host-fetch fence to <5%
     t0 = time.perf_counter()
     traces = jnp.zeros((), jnp.int32)
     for i in range(n_frames):

@@ -78,6 +78,10 @@ def parse_args(argv=None):
                    help="viewer bind address (loopback by default; the "
                         "stream/control endpoints are unauthenticated — "
                         "pass 0.0.0.0 to expose them deliberately)")
+    p.add_argument("--no-progressive", action="store_true",
+                   help="disable the viewer's progressive startup (quarter-"
+                        "res warmup frames while the full-res executable "
+                        "compiles in the background)")
     return p.parse_args(argv)
 
 
@@ -183,7 +187,8 @@ def main(argv=None) -> int:
         tb = Trackball(camera=cam)
         tb.reinitialize_from_camera()
         viewer_mod.serve(renderer, tb, port=args.viewer_port,
-                         host=args.viewer_host)
+                         host=args.viewer_host,
+                         progressive=not args.no_progressive)
         return 0
 
     timers = FrameTimers()

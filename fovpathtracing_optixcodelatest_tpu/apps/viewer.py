@@ -174,31 +174,103 @@ def _make_handler(state: ViewerState):
     return Handler
 
 
+def _warmup_renderer(renderer, scale: int):
+    """Quarter-res (1/scale) clone sharing the scene — first frames while the
+    full-res executable compiles. The schedule shrinks via
+    FoveationSchedule.scaled (ring radii are resolution-absolute)."""
+    import dataclasses
+    import math
+
+    from fovpathtracing_optixcodelatest_tpu.render.renderer import Renderer
+
+    # low-res dims round UP to a multiple of the coarsest pass stride — a
+    # stride-4 pass launches floor(H/4) rows, so a non-multiple height leaves
+    # unwritten bottom rows (true of the reference at such sizes too)
+    f = max(p.factor for p in renderer.schedule.passes)
+    cfg = dataclasses.replace(
+        renderer.config,
+        width=max(32, math.ceil(renderer.config.width / scale / f) * f),
+        height=max(32, math.ceil(renderer.config.height / scale / f) * f),
+    )
+    low = Renderer(
+        scene=renderer.scene, config=cfg,
+        schedule=renderer.schedule.scaled(scale),
+    )
+    low.camera_params = renderer.camera_params
+    return low
+
+
 def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
-          host: str = "127.0.0.1"):
+          host: str = "127.0.0.1", progressive: bool = False,
+          warmup_scale: int = 4, stop_event: threading.Event | None = None,
+          on_swap=None):
     """The interactive render loop (main.cpp:347-481 twin). Blocks; renders
     continuously, gaze from the cursor, orbit/zoom from drags. ``max_frames``
     bounds the loop for tests. Binds loopback by default — the stream and the
     gaze/orbit control endpoints are unauthenticated; pass host="0.0.0.0"
-    explicitly (--viewer-host) to expose them."""
+    explicitly (--viewer-host) to expose them.
+
+    ``progressive=True``: XLA compiles the full-res frame executable once per
+    (resolution, schedule) — ~85 s warm-cache / minutes cold on the v5e — so
+    the first full frame is minutes away. Progressive startup renders
+    1/``warmup_scale``-res frames (their own much smaller compile) and
+    upscales them to the canvas while a background thread runs the first
+    full-res render; when it lands, the loop swaps over seamlessly."""
     state = ViewerState(renderer.config.width, renderer.config.height)
     server = ThreadingHTTPServer((host, port), _make_handler(state))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     print(f"viewer: http://{host}:{port}/  (ctrl-c to stop)")
 
+    active = renderer
+    scale = 1
+    full_ready = threading.Event()
+    if progressive and min(renderer.config.width, renderer.config.height) >= (
+        32 * warmup_scale
+    ):
+        active = _warmup_renderer(renderer, warmup_scale)
+        scale = warmup_scale
+
+        def _compile_full():
+            # one throwaway full-res render = the XLA compile + first frame;
+            # device work interleaves with the low-res frames' dispatches
+            try:
+                renderer.render()
+            finally:
+                full_ready.set()
+
+        threading.Thread(target=_compile_full, daemon=True).start()
+    else:
+        full_ready.set()
+
     frames = 0
     t_fps = time.perf_counter()
     try:
         while state.running and (max_frames is None or frames < max_frames):
+            if stop_event is not None and stop_event.is_set():
+                break
+            if scale > 1 and full_ready.is_set():
+                renderer.camera_params = active.camera_params
+                renderer.subframe = 0  # fresh accumulation at full res
+                active, scale = renderer, 1
+                if on_swap is not None:
+                    on_swap()
             gaze, dx, dy, zoom = state.take_input()
             if dx or dy:
-                renderer.set_camera(trackball.orbit(dx, dy))
+                active.set_camera(trackball.orbit(dx, dy))
             for _ in range(abs(zoom)):
-                renderer.set_camera(trackball.zoom(1 if zoom > 0 else -1))
+                active.set_camera(trackball.zoom(1 if zoom > 0 else -1))
             t0 = time.perf_counter()
-            frame = renderer.render(gaze=gaze)
+            g = (gaze[0] // scale, gaze[1] // scale) if scale > 1 else gaze
+            frame = active.render(gaze=g)
             render_ms = (time.perf_counter() - t0) * 1e3
+            if scale > 1:  # nearest-neighbor upscale to the display canvas
+                frame = np.repeat(np.repeat(frame, scale, 0), scale, 1)
+                py = max(0, state.height - frame.shape[0])
+                px = max(0, state.width - frame.shape[1])
+                if py or px:
+                    frame = np.pad(frame, ((0, py), (0, px), (0, 0)), "edge")
+                frame = frame[: state.height, : state.width]
             state.put_frame(frame[::-1])  # V-up film -> display orientation
             frames += 1
             dt = time.perf_counter() - t_fps
@@ -207,7 +279,8 @@ def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
                     "fps": frames / dt if dt > 0 else 0.0,
                     "render_ms": render_ms,
                     "gaze": list(gaze),
-                    "subframe": renderer.subframe,
+                    "subframe": active.subframe,
+                    "warmup": scale > 1,
                 }
     except KeyboardInterrupt:
         pass

@@ -191,6 +191,41 @@ class FoveationSchedule:
             )
         )
 
+    def scaled(self, s: int) -> "FoveationSchedule":
+        """The same schedule at 1/s resolution: ring radii, launch grids and
+        gaze offsets shrink by s, strides/spp stay. Used by the viewer's
+        progressive startup (quarter-res warmup frames while the full-res
+        executable compiles) and by benchmark_sweep at non-960x540 sizes —
+        the reference's radii are resolution-absolute and tuned for 960x540
+        (SimplePathtracer.cpp:20-21)."""
+        if s <= 1:
+            return self
+        import math
+
+        passes = []
+        for i, p in enumerate(self.passes):
+            # ring GEOMETRY scales with resolution, but the coverage margin is
+            # stride-absolute: a stride-f outer pass rejects whole f-blocks, so
+            # this pass must still overlap it by f*sqrt(2) pixels (see
+            # validate_coverage). Re-add the coarser pass's block diagonal.
+            pad = 0.0
+            if i > 0 and p.r_outer < 1e8:
+                pad = math.ceil(self.passes[i - 1].factor * math.sqrt(2)) + 1
+            r_out = p.r_outer if p.r_outer >= 1e8 else p.r_outer / s + pad
+            grow = int(math.ceil(pad / max(p.factor, 1)))
+            passes.append(dataclasses.replace(
+                p,
+                r_inner=p.r_inner / s,
+                r_outer=r_out,
+                launch_w=None if p.launch_w is None
+                else max(1, p.launch_w // s) + 2 * grow,
+                launch_h=None if p.launch_h is None
+                else max(1, p.launch_h // s) + 2 * grow,
+                center_offset=(p.center_offset // s + grow * p.factor)
+                if p.centered else 0,
+            ))
+        return FoveationSchedule(passes=tuple(passes))
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:

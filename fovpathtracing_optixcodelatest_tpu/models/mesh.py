@@ -249,13 +249,20 @@ def flatten_meshes(meshes: Sequence[HostMesh]) -> tuple[SceneGeometry, MaterialT
 
     gn = np.cross(e1_all, e2_all)
     gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
-    tri_pack = np.zeros((t_count, 12), dtype=np.float32)
+    # cols 12:36 embed the triangle's MATERIAL packed row so shading needs
+    # ONE attribute gather (a separate (M,24) material gather measured
+    # ~14 ms/bounce at 1.9M rays); TPU tiling pads the minor dim to 128
+    # lanes either way, so the extra 24 columns are physically free.
+    mat_rows = MaterialTable.packed_rows_numpy(materials)
+    safe_mat = np.clip(mat_all.astype(np.int64), 0, len(mat_rows) - 1)
+    tri_pack = np.zeros((t_count, 36), dtype=np.float32)
     tri_pack[:, 0:3] = gn
     tri_pack[:, 3:5] = uv0_all
     tri_pack[:, 5:7] = uv1_all
     tri_pack[:, 7:9] = uv2_all
     tri_pack[:, 9] = mat_all.astype(np.int32).view(np.float32)
     tri_pack[:, 10] = tex_all.astype(np.int32).view(np.float32)
+    tri_pack[:, 12:36] = mat_rows[safe_mat]
 
     # One device_put for the whole geometry (separate per-array uploads cost
     # a tunnel round trip each; the batched pytree put is ~10x cheaper).

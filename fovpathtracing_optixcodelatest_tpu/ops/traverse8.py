@@ -45,6 +45,12 @@ from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import EMPTY, INST_BIT, WideBVH
 # chunks.
 DEFAULT_CHUNK = 1 << 15
 
+# FALSIFIED round 3 (do not retry): widening phase-2/straggler chunks to
+# 128k to cut idle lax.map steps — idle-step cost SCALES with chunk width
+# (phase-2 closest 85 -> 204 ms at frame scale). lax.map's fixed per-step
+# cost is ~467 us at 32k lanes even when the chunk's while exits
+# immediately (scratch/exp_r3_mapstep.py).
+
 # Sublane tiling: a chunk of N rays is laid out as (8, N // 8).
 SUB = 8
 
@@ -634,10 +640,21 @@ def occluded(
     max_steps: int = 100_000,
     chunk: int | None = DEFAULT_CHUNK,
     cull_backface: bool = True,
+    stack_cap: int | None = None,
+    iter_cap: int | None = None,
+    return_pending: bool = False,
 ):
     """Any-hit occlusion with first-hit termination. Back-face culling
     defaults on (the PT_sv5_ occlusion ray flag, deviceProgram.cu:237); the
-    04-sample shadow ray disables it. Returns (N,) bool."""
+    04-sample shadow ray disables it. Returns (N,) bool.
+
+    ``stack_cap``/``iter_cap``/``return_pending`` mirror closest_hit's
+    truncated phase-1 machinery: the worst-case stack depth
+    ((arity-1)*height+2 = 47 on the bench scene) makes every push/pop
+    one-hot scan 3x the rows the ~16-entry ACTUAL occupancy needs. With
+    ``return_pending`` the result is (occ, pending): un-occluded rays whose
+    stack overflowed or hit the iteration cap must be re-traced (the staged
+    occlusion pass in render/integrator.py)."""
     n0 = origin.shape[0]
     if active is None:
         active = jnp.ones((n0,), dtype=bool)
@@ -647,26 +664,36 @@ def occluded(
     o_r, d_r, inv_r, sp0, _t0, c, l, n0 = _batch_tiles(
         origin, direction, active, chunk
     )
+    depth = bvh.stack_depth if stack_cap is None else min(
+        stack_cap, bvh.stack_depth
+    )
+    if iter_cap is None:
+        step_limit = max_steps
+    elif isinstance(iter_cap, int):
+        step_limit = min(max_steps, iter_cap)
+    else:
+        step_limit = jnp.minimum(jnp.int32(max_steps), iter_cap)
 
     instanced = bvh.num_instances > 0
 
     def loop(o_t, d_t, inv_t, sp_init):
         state = (
-            jnp.zeros((bvh.stack_depth, SUB, l), dtype=jnp.int32),
+            jnp.zeros((depth, SUB, l), dtype=jnp.int32),
             sp_init,
             jnp.zeros((SUB, l), dtype=bool),  # occ
             jnp.zeros((), dtype=jnp.int32),
+            jnp.zeros((SUB, l), dtype=jnp.int32),  # overflowed
         )
         if instanced:
             state = state + (tuple(o_t), tuple(d_t), tuple(inv_t))
 
         def cond(s):
-            return jnp.any(s[1] > 0) & (s[3] < max_steps)
+            return jnp.any(s[1] > 0) & (s[3] < step_limit)
 
         def body(s):
-            stack, sp, occ, steps = s[:4]
+            stack, sp, occ, steps, overflow = s[:5]
             if instanced:
-                op, dp, ip = (list(x) for x in s[4:])
+                op, dp, ip = (list(x) for x in s[5:])
             sp = jnp.where(occ, 0, sp)  # occluded rays drop remaining work
             entry, sp, has = _pop(stack, sp)
             if instanced:
@@ -708,6 +735,8 @@ def occluded(
                 entries_c = list(entries_c)
                 entries_c[0] = jnp.where(is_inst, root_code, entries_c[0])
                 cnt = jnp.where(is_inst, 1, cnt)
+            if depth < bvh.stack_depth:
+                overflow = overflow | (sp + cnt > depth).astype(jnp.int32)
             stack, sp = _push(stack, sp, entries_c, cnt)
 
             leaf_out = _leaf_hits(
@@ -716,13 +745,16 @@ def occluded(
             )
             for hit_k, _t, _u, _v in leaf_out:
                 occ = occ | hit_k
-            out = (stack, sp, occ, steps + 1)
+            out = (stack, sp, occ, steps + 1, overflow)
             if instanced:
                 out = out + (tuple(op), tuple(dp), tuple(ip))
             return out
 
         out = lax.while_loop(cond, body, state)
-        return out[2].astype(jnp.int32)
+        occ_i = out[2].astype(jnp.int32)
+        # pending: NOT occluded but work remained (overflow or iter cap)
+        pend_i = (~out[2] & ((out[1] > 0) | (out[4] > 0))).astype(jnp.int32)
+        return occ_i, pend_i
 
     xs = (
         jnp.stack(o_r, axis=1),
@@ -739,7 +771,10 @@ def occluded(
         )
 
     if c == 1:
-        occ = step(tuple(x[0] for x in xs))
+        occ, pend = step(tuple(x[0] for x in xs))
     else:
-        occ = jax.lax.map(step, xs)
-    return occ.reshape(-1)[:n0] > 0
+        occ, pend = jax.lax.map(step, xs)
+    occ_out = occ.reshape(-1)[:n0] > 0
+    if return_pending:
+        return occ_out, pend.reshape(-1)[:n0] > 0
+    return occ_out

@@ -235,7 +235,17 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
 
 def _occluded_compacted(scene, p, wi, query, config):
     """Occlusion twin of _closest_compacted (the query mask already encodes
-    the can-this-matter test)."""
+    the can-this-matter test).
+
+    Falsified round 3 (measured, frame-scale): a STAGED occlusion (16-entry
+    truncated stack + overflow re-trace, mirroring closest-hit staging) is a
+    net LOSS — depth 47 -> 16 shrank the occl while_loop only 138 -> 131 ms
+    (the stack one-hots are NOT its cost driver), while the extra pend-sort
+    and the mostly-idle phase-2 lax.map added ~10 ms/bounce (each lax.map
+    step costs ~467 us FIXED even when its chunk exits immediately —
+    scratch/exp_r3_mapstep.py). Same experiment showed 128k straggler
+    chunks are pessimal for phase-2 closest (idle-step cost scales with
+    chunk width: 85 -> 204 ms)."""
     n = p.shape[0]
     if config.traversal == "oracle":
         return intersect.brute_force_occluded(
@@ -395,7 +405,7 @@ def trace_paths(
         p = jnp.where(hit_mask[:, None], p, o)  # keep dead lanes finite
         # ONE packed attribute gather per hit (normals/uvs/ids — see
         # SceneGeometry.tri_pack; separate per-field gathers profiled hot)
-        attr = jnp.take(scene.geom.tri_pack, tri, axis=0)  # (N, 12)
+        attr = jnp.take(scene.geom.tri_pack, tri, axis=0)  # (N, 36)
         ng = attr[:, 0:3]
         if scene.bvh.instanced:
             # two-level hit: geometry (and its normals) is OBJECT-space —
@@ -423,9 +433,9 @@ def trace_paths(
             )
         nrm = face_forward(ng, -d)  # faceforward(N0, -ray_dir, N0) (cu:634)
 
-        mat_id = lax.bitcast_convert_type(attr[:, 9], jnp.int32)
         tex_id = lax.bitcast_convert_type(attr[:, 10], jnp.int32)
-        m = scene.materials.gather(mat_id)
+        # material packed row rides tri_pack cols 12:36 — no second gather
+        m = scene.materials.view_rows(attr[:, 12:36])
         is_catcher = (m.flags & MATERIAL_FLAG_SHADOW_CATCHER) != 0
 
         # albedo: material color, texture-modulated when present (cu:655-670)

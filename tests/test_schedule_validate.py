@@ -80,3 +80,16 @@ def test_box_city_fast_generator():
     assert np.isfinite(tris).all()
     bvh = bvh_native.build(tris)
     assert bvh.num_rows > 100
+
+
+def test_scaled_schedule_is_hole_free():
+    """Progressive-startup warmup schedules (viewer) keep full coverage: the
+    ring geometry shrinks with resolution but the stride-block overlap margin
+    is absolute (a stride-4 pass still rejects 4x4 blocks at 1/4 res)."""
+    base = FoveationSchedule.reference_32_16_8_sealed()
+    for s, (w, h) in ((2, (480, 272)), (4, (240, 136))):
+        sc = base.scaled(s)
+        for gaze in [None, (0, 0), (w - 1, h - 1), (7, h // 2)]:
+            holes = sc.validate_coverage(w, h, gaze=gaze)
+            assert holes.sum() == 0, f"scale {s} gaze {gaze}: {holes.sum()}"
+    assert base.scaled(1) is base
