@@ -106,6 +106,61 @@ def main() -> None:
         f"{traces} traversal queries, {mrays:.1f} Mrays/s",
         file=sys.stderr,
     )
+
+    # Second datapoint: a reference-scale scene (the reference's benchmark
+    # OBJ archive is 1e5–1e7 triangles — sponza TSV line-1 tag `1e+07`,
+    # PT_sv4_vmv2/data/sponza_fov_32_16_8.tsv) whose BVH table does NOT fit
+    # VMEM — the HBM-gather regime the headline scene never exercises.
+    deep = {}
+    try:
+        meshes_d, cam_d = scenes.box_city_fast(n=180, seed=0)
+        t0 = time.perf_counter()
+        scene_d = build_scene(meshes_d, probe=gradient_sky_probe())
+        print(
+            f"deep scene: {scene_d.num_triangles} tris, "
+            f"bvh {scene_d.bvh.num_rows} rows "
+            f"({scene_d.bvh.table.size * 4 / 1e6:.0f} MB), "
+            f"build {time.perf_counter() - t0:.2f}s",
+            file=sys.stderr,
+        )
+        camp_d = dataclasses.replace(
+            cam_d, aspect=width / height
+        ).device_params()
+        canvas_d = film.new_canvas(width, height, pad)
+        t0 = time.perf_counter()
+        canvas_d, frame_d, stats_d = render_frame(
+            scene_d, camp_d, gx, gy, jnp.asarray(0, jnp.int32), canvas_d,
+            key, config, schedule,
+        )
+        _ = np.asarray(frame_d)
+        print(
+            f"deep compile+first frame: {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        n_deep = 4
+        t0 = time.perf_counter()
+        traces_d = jnp.zeros((), jnp.int32)
+        for i in range(n_deep):
+            canvas_d, frame_d, stats_d = render_frame(
+                scene_d, camp_d, gx, gy, jnp.asarray(i + 1, jnp.int32),
+                canvas_d, jax.random.fold_in(key, 100 + i), config, schedule,
+            )
+            traces_d = traces_d + stats_d["traces"]
+        traces_d = int(traces_d)
+        dt_d = time.perf_counter() - t0
+        deep = {
+            "deep_tris": int(scene_d.num_triangles),
+            "deep_mrays": round(traces_d / dt_d / 1e6, 2),
+            "deep_fps": round(n_deep / dt_d, 2),
+        }
+        print(
+            f"deep: {n_deep} frames in {dt_d:.2f}s -> {deep['deep_fps']} fps, "
+            f"{deep['deep_mrays']} Mrays/s at {deep['deep_tris']} tris",
+            file=sys.stderr,
+        )
+    except Exception as e:  # the headline metric must survive a deep failure
+        print(f"deep-scene bench failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -113,6 +168,7 @@ def main() -> None:
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 200.0, 3),
+                **deep,
             }
         )
     )

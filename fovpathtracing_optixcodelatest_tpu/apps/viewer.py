@@ -40,7 +40,8 @@ _PAGE = """<!DOCTYPE html>
  #view { image-rendering:pixelated; cursor:crosshair; border:1px solid #444 }
  #stats { margin-top:0.5em; white-space:pre }
 </style></head><body>
-<div>gaze follows the cursor &middot; drag = orbit &middot; wheel = zoom</div>
+<div>gaze follows the cursor &middot; drag = orbit &middot; wheel = zoom &middot;
+ keys: <b>1</b> color <b>2</b> normal <b>3</b> albedo <b>4</b> denoised</div>
 <img id="view" src="/stream">
 <div id="stats"></div>
 <script>
@@ -61,6 +62,10 @@ window.onmouseup = () => { drag = false; };
 img.onwheel = (e) => { send('zoom=' + (e.deltaY > 0 ? 1 : -1));
                        e.preventDefault(); };
 img.ondragstart = () => false;
+window.onkeydown = (e) => {
+  const views = {'1':'color','2':'normal','3':'albedo','4':'denoised'};
+  if (views[e.key]) send('view=' + views[e.key]);
+};
 setInterval(async () => {
   try { const s = await (await fetch('/stats')).json();
         document.getElementById('stats').textContent =
@@ -84,6 +89,7 @@ class ViewerState:
         self.frame_event = threading.Event()
         self.stats = {"fps": 0.0, "render_ms": 0.0, "gaze": self.gaze,
                       "subframe": 0}
+        self.view = "color"  # color | normal | albedo | denoised
         self.running = True
         self.width = width
         self.height = height
@@ -93,7 +99,7 @@ class ViewerState:
             dx, dy, z = self.orbit_dx, self.orbit_dy, self.zoom_ticks
             self.orbit_dx = self.orbit_dy = 0.0
             self.zoom_ticks = 0
-            return self.gaze, dx, dy, z
+            return self.gaze, dx, dy, z, self.view
 
     def put_frame(self, rgb_u8: np.ndarray):
         from PIL import Image
@@ -134,6 +140,10 @@ def _make_handler(state: ViewerState):
                         state.orbit_dy += float(q["dy"][0])
                     if "zoom" in q:
                         state.zoom_ticks += int(q["zoom"][0])
+                    if "view" in q and q["view"][0] in (
+                        "color", "normal", "albedo", "denoised"
+                    ):
+                        state.view = q["view"][0]
                 self.send_response(204)
                 self.end_headers()
             elif url.path == "/stats":
@@ -172,6 +182,30 @@ def _make_handler(state: ViewerState):
                 self.end_headers()
 
     return Handler
+
+
+def _view_frame(view: str, aovs, config) -> np.ndarray:
+    """Map an AOV dict to a displayable (H, W, 3) uint8 image.
+
+    normal: [-1,1] -> [0,1]; albedo: clamp; denoised: cross-bilateral
+    a-trous over the accumulated radiance with normal/albedo guides (the
+    OptixDenoiser slot, ops/denoise.py) followed by the standard tone map.
+    """
+    if view == "normal":
+        img = np.asarray(aovs["normal"]) * 0.5 + 0.5
+        return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    if view == "albedo":
+        img = np.asarray(aovs["albedo"])
+        return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    from fovpathtracing_optixcodelatest_tpu.ops import tonemap
+    from fovpathtracing_optixcodelatest_tpu.ops.denoise import atrous_denoise
+
+    clean = atrous_denoise(aovs["accum"], aovs["normal"], aovs["albedo"])
+    u8 = tonemap.postprocess(
+        clean, exposure_stops=config.exposure_stops, white=config.white,
+        exposure_on=config.exposure_correction, tonemap_on=config.tone_mapping,
+    )
+    return np.asarray(u8)
 
 
 def _warmup_renderer(renderer, scale: int):
@@ -255,14 +289,18 @@ def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
                 active, scale = renderer, 1
                 if on_swap is not None:
                     on_swap()
-            gaze, dx, dy, zoom = state.take_input()
+            gaze, dx, dy, zoom, view = state.take_input()
             if dx or dy:
                 active.set_camera(trackball.orbit(dx, dy))
             for _ in range(abs(zoom)):
                 active.set_camera(trackball.zoom(1 if zoom > 0 else -1))
             t0 = time.perf_counter()
             g = (gaze[0] // scale, gaze[1] // scale) if scale > 1 else gaze
-            frame = active.render(gaze=g)
+            if view == "color":
+                frame = active.render(gaze=g)
+            else:  # AOV views (the denoiser guide layers + a-trous output)
+                frame, aovs = active.render_aov(gaze=g)
+                frame = _view_frame(view, aovs, active.config)
             render_ms = (time.perf_counter() - t0) * 1e3
             if scale > 1:  # nearest-neighbor upscale to the display canvas
                 frame = np.repeat(np.repeat(frame, scale, 0), scale, 1)
@@ -281,6 +319,7 @@ def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
                     "gaze": list(gaze),
                     "subframe": active.subframe,
                     "warmup": scale > 1,
+                    "view": view,
                 }
     except KeyboardInterrupt:
         pass

@@ -348,6 +348,29 @@ class Renderer:
         self.last_frame = frame
         return np.asarray(frame)
 
+    def render_aov(self, gaze: Optional[Tuple[int, int]] = None):
+        """One frame through the AOV pipeline: returns (frame_u8, aovs) where
+        aovs carries the linear 'accum'/'normal'/'albedo' full-frame images
+        (the denoiser guide layers, SimplePathtracer.cpp:246-260). Same
+        accumulation semantics as render() — compiles a separate executable
+        from the plain path (used by the viewer's AOV views)."""
+        if self.camera_params is None:
+            raise RuntimeError("set_camera() first")
+        w, h = self.config.width, self.config.height
+        if gaze is None:
+            gaze = (w // 2, h // 2)
+        gx = jnp.clip(jnp.asarray(gaze[0], dtype=jnp.int32), 0, w - 1)
+        gy = jnp.clip(jnp.asarray(gaze[1], dtype=jnp.int32), 0, h - 1)
+        frame_key = jax.random.fold_in(self._key, self.subframe)
+        self.canvas, frame, aovs, self._stats = render_frame_aov(
+            self.scene, self.camera_params, gx, gy,
+            jnp.asarray(self.subframe, dtype=jnp.int32),
+            self.canvas, frame_key, self.config, self.schedule,
+        )
+        self.subframe += 1
+        self.last_frame = frame
+        return np.asarray(frame), aovs
+
     def download_pixels(self) -> np.ndarray:
         """downloadPixels (SimplePathtracer.cpp:276-280)."""
         if self.last_frame is None:

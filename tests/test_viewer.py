@@ -74,6 +74,23 @@ def test_viewer_serves_streams_and_applies_input():
         urllib.request.urlopen(
             f"http://127.0.0.1:{PORT}/input?zoom=1", timeout=30
         )
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{PORT}/input?view=normal", timeout=30
+        )
+        # poll until a frame rendered through the AOV view path
+        import json as _json
+        import time as _time
+
+        saw_normal = False
+        deadline = _time.time() + 600
+        while _time.time() < deadline and t.is_alive():
+            s = _json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{PORT}/stats", timeout=30).read())
+            if s.get("view") == "normal":
+                saw_normal = True
+                break
+            _time.sleep(0.5)
+        assert saw_normal, "AOV view never rendered"
         # read one MJPEG part off the stream
         stream = urllib.request.urlopen(
             f"http://127.0.0.1:{PORT}/stream", timeout=60
@@ -102,6 +119,7 @@ def test_viewer_serves_streams_and_applies_input():
     assert tuple(viewer_mod and renderer.config.resolution) == (48, 36)
 
 
+
 def test_viewer_state_input_coalescing():
     st = viewer_mod.ViewerState(64, 48)
     with st.lock:
@@ -109,9 +127,9 @@ def test_viewer_state_input_coalescing():
         st.orbit_dy += 4
         st.zoom_ticks += 2
         st.gaze = (10, 12)
-    gaze, dx, dy, z = st.take_input()
-    assert gaze == (10, 12) and (dx, dy, z) == (3, 4, 2)
-    _, dx, dy, z = st.take_input()
+    gaze, dx, dy, z, view = st.take_input()
+    assert gaze == (10, 12) and (dx, dy, z) == (3, 4, 2) and view == "color"
+    _, dx, dy, z, _ = st.take_input()
     assert (dx, dy, z) == (0.0, 0.0, 0)
 
 
