@@ -78,6 +78,10 @@ def parse_args(argv=None):
                    help="viewer bind address (loopback by default; the "
                         "stream/control endpoints are unauthenticated — "
                         "pass 0.0.0.0 to expose them deliberately)")
+    p.add_argument("--viewer-schedules", default="",
+                   help="comma-separated schedule specs ('F_A_P' or "
+                        "'uniform:N') the viewer's 's' key cycles through, "
+                        "in addition to the launch schedule")
     p.add_argument("--no-progressive", action="store_true",
                    help="disable the viewer's progressive startup (quarter-"
                         "res warmup frames while the full-res executable "
@@ -186,9 +190,14 @@ def main(argv=None) -> int:
 
         tb = Trackball(camera=cam)
         tb.reinitialize_from_camera()
+        extra = [
+            (s, build_schedule(s))
+            for s in args.viewer_schedules.split(",") if s
+        ]
         viewer_mod.serve(renderer, tb, port=args.viewer_port,
                          host=args.viewer_host,
-                         progressive=not args.no_progressive)
+                         progressive=not args.no_progressive,
+                         schedules=extra)
         return 0
 
     timers = FrameTimers()

@@ -41,7 +41,8 @@ _PAGE = """<!DOCTYPE html>
  #stats { margin-top:0.5em; white-space:pre }
 </style></head><body>
 <div>gaze follows the cursor &middot; drag = orbit &middot; wheel = zoom &middot;
- keys: <b>1</b> color <b>2</b> normal <b>3</b> albedo <b>4</b> denoised</div>
+ keys: <b>1</b> color <b>2</b> normal <b>3</b> albedo <b>4</b> denoised
+ &middot; <b>s</b> cycle schedule</div>
 <img id="view" src="/stream">
 <div id="stats"></div>
 <script>
@@ -65,6 +66,7 @@ img.ondragstart = () => false;
 window.onkeydown = (e) => {
   const views = {'1':'color','2':'normal','3':'albedo','4':'denoised'};
   if (views[e.key]) send('view=' + views[e.key]);
+  if (e.key === 's') send('sched=next');
 };
 setInterval(async () => {
   try { const s = await (await fetch('/stats')).json();
@@ -90,6 +92,7 @@ class ViewerState:
         self.stats = {"fps": 0.0, "render_ms": 0.0, "gaze": self.gaze,
                       "subframe": 0}
         self.view = "color"  # color | normal | albedo | denoised
+        self.sched_ticks = 0  # 'cycle schedule' requests (coalesced)
         self.running = True
         self.width = width
         self.height = height
@@ -97,9 +100,11 @@ class ViewerState:
     def take_input(self):
         with self.lock:
             dx, dy, z = self.orbit_dx, self.orbit_dy, self.zoom_ticks
+            st = self.sched_ticks
             self.orbit_dx = self.orbit_dy = 0.0
             self.zoom_ticks = 0
-            return self.gaze, dx, dy, z, self.view
+            self.sched_ticks = 0
+            return self.gaze, dx, dy, z, self.view, st
 
     def put_frame(self, rgb_u8: np.ndarray):
         from PIL import Image
@@ -144,6 +149,8 @@ def _make_handler(state: ViewerState):
                         "color", "normal", "albedo", "denoised"
                     ):
                         state.view = q["view"][0]
+                    if "sched" in q:
+                        state.sched_ticks += 1
                 self.send_response(204)
                 self.end_headers()
             elif url.path == "/stats":
@@ -237,7 +244,7 @@ def _warmup_renderer(renderer, scale: int):
 def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
           host: str = "127.0.0.1", progressive: bool = False,
           warmup_scale: int = 4, stop_event: threading.Event | None = None,
-          on_swap=None):
+          on_swap=None, schedules=None):
     """The interactive render loop (main.cpp:347-481 twin). Blocks; renders
     continuously, gaze from the cursor, orbit/zoom from drags. ``max_frames``
     bounds the loop for tests. Binds loopback by default — the stream and the
@@ -250,6 +257,12 @@ def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
     1/``warmup_scale``-res frames (their own much smaller compile) and
     upscales them to the canvas while a background thread runs the first
     full-res render; when it lands, the loop swaps over seamlessly."""
+    # 's' cycles through [the renderer's own schedule] + any extra
+    # (name, FoveationSchedule) pairs; each new one jit-compiles on first
+    # use (the persistent cache absorbs repeats across runs)
+    sched_names = ["initial"] + [n for n, _ in (schedules or [])]
+    schedules = [renderer.schedule] + [s for _, s in (schedules or [])]
+    sched_i = 0
     state = ViewerState(renderer.config.width, renderer.config.height)
     server = ThreadingHTTPServer((host, port), _make_handler(state))
     t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -289,7 +302,15 @@ def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
                 active, scale = renderer, 1
                 if on_swap is not None:
                     on_swap()
-            gaze, dx, dy, zoom, view = state.take_input()
+            gaze, dx, dy, zoom, view, sched_ticks = state.take_input()
+            if sched_ticks and len(schedules) > 1:
+                sched_i = (sched_i + sched_ticks) % len(schedules)
+                for r in {id(renderer): renderer, id(active): active}.values():
+                    s = schedules[sched_i]
+                    r.set_schedule(
+                        s if r is renderer else s.scaled(warmup_scale)
+                    )
+                print(f"viewer: schedule -> {sched_names[sched_i]}")
             if dx or dy:
                 active.set_camera(trackball.orbit(dx, dy))
             for _ in range(abs(zoom)):
@@ -320,6 +341,7 @@ def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
                     "subframe": active.subframe,
                     "warmup": scale > 1,
                     "view": view,
+                    "schedule": sched_names[sched_i],
                 }
     except KeyboardInterrupt:
         pass

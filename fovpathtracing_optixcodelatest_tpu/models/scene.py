@@ -55,15 +55,26 @@ def build_scene(
     meshes: Sequence[HostMesh],
     probe: Optional[ProbeParams] = None,
     texture_images: Optional[Sequence[np.ndarray]] = None,
+    leaf_size: Optional[int] = None,
+    arity: Optional[int] = None,
 ) -> Scene:
     """Flatten meshes, build the BVH, pack textures, attach the probe.
 
     Default lighting is the reference's AMBIENT_LIGHT preset: a constant
     probe of 5.0 * 0.5 = 2.5 per channel (main.cpp:225-233 loadColor call).
+
+    ``leaf_size``/``arity`` override the BVH packing (default L14/A16 = the
+    measured VMEM-regime optimum; narrower rows, e.g. L6 → 64 f32 cols, cut
+    bytes/gather for tables that spill to HBM).
     """
     geom, materials = flatten_meshes(meshes)
     tris = host_triangles(meshes)
-    bvh = build_wide_bvh(tris)
+    kw = {}
+    if leaf_size is not None:
+        kw["leaf_size"] = leaf_size
+    if arity is not None:
+        kw["arity"] = arity
+    bvh = build_wide_bvh(tris, **kw)
     if probe is None:
         probe = constant_probe((2.5, 2.5, 2.5))
     textures = build_texture_array(list(texture_images or []))

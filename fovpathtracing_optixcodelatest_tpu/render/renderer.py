@@ -313,6 +313,20 @@ class Renderer:
         )
         self.subframe = 0
 
+    def set_schedule(self, schedule: FoveationSchedule) -> None:
+        """Swap the foveation schedule (the reference rebuilds its three
+        LaunchParams between configs, SimplePathtracer.cpp:137-209): re-pad
+        the canvas, reset accumulation. A new schedule is a new jit static
+        arg — first frame recompiles (persistent cache absorbs repeats)."""
+        self.schedule = schedule
+        self._pad = film.schedule_padding(
+            schedule, self.config.width, self.config.height
+        )
+        self.canvas = film.new_canvas(
+            self.config.width, self.config.height, self._pad
+        )
+        self.subframe = 0
+
     def resize(self, size: Tuple[int, int]) -> None:
         """resize (SimplePathtracer.cpp:228-274): realloc canvas, reset."""
         import dataclasses

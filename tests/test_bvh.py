@@ -201,3 +201,27 @@ def test_wide_packed_occlusion_parity():
     ref = np.asarray(brute_force_occluded(geom, o, d, 0.01, 1e16))
     got = np.asarray(traverse8.occluded(wb, o, d, 0.01, 1e16))
     assert (ref == got).mean() > 0.999
+
+
+def test_narrow_leaf_build_parity():
+    """L6/A16 packs the unified row in 64 f32 cols (the HBM-regime
+    bytes/row variant, build_scene(leaf_size=6)) — results must stay exactly
+    equal to the oracle, like every other packing."""
+    from fovpathtracing_optixcodelatest_tpu.ops import bvh_native, traverse8
+
+    geom, tris = _scene(seed=11)
+    wb = bvh_native.build(tris, leaf_size=6, arity=16)
+    assert wb.table.shape[1] == 64, wb.table.shape
+    o, d = _rand_rays(2048, seed=3)
+    ref = jax.jit(
+        lambda o, d: brute_force_closest_hit(geom, o, d, 0.01, 1e16)
+    )(o, d)
+    got = jax.jit(
+        lambda o, d: traverse8.closest_hit(wb, o, d, 0.01, 1e16)
+    )(o, d)
+    hit_ref = np.asarray(ref["hit"])
+    np.testing.assert_array_equal(np.asarray(got["hit"]), hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(got["t"])[hit_ref], np.asarray(ref["t"])[hit_ref],
+        rtol=1e-4, atol=1e-5,
+    )

@@ -127,9 +127,10 @@ def test_viewer_state_input_coalescing():
         st.orbit_dy += 4
         st.zoom_ticks += 2
         st.gaze = (10, 12)
-    gaze, dx, dy, z, view = st.take_input()
+    gaze, dx, dy, z, view, sticks = st.take_input()
     assert gaze == (10, 12) and (dx, dy, z) == (3, 4, 2) and view == "color"
-    _, dx, dy, z, _ = st.take_input()
+    assert sticks == 0
+    _, dx, dy, z, _, _ = st.take_input()
     assert (dx, dy, z) == (0.0, 0.0, 0)
 
 
@@ -183,3 +184,51 @@ def test_viewer_progressive_startup_swaps_to_full_res():
     # post-swap frames rendered at full res through the full renderer
     assert r.subframe >= 1
     assert r.last_frame is not None and r.last_frame.shape[:2] == (h, w)
+
+
+def test_viewer_schedule_cycle():
+    """'s' cycles the schedule set (live schedule switching): the loop swaps
+    renderer.schedule and resets accumulation."""
+    renderer, cam = _tiny_renderer()
+    tb = Trackball(camera=cam)
+    tb.reinitialize_from_camera()
+    alt = FoveationSchedule.uniform(1)
+    got = {}
+
+    def loop():
+        got["frames"] = viewer_mod.serve(
+            renderer, tb, port=PORT + 2, max_frames=40,
+            schedules=[("uniform:1", alt)],
+        )
+
+    t = threading.Thread(target=loop)
+    t.start()
+    try:
+        import json as _json
+        import time as _time
+
+        deadline0 = _time.time() + 120
+        while True:  # the serve thread needs a beat to bind the port
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{PORT + 2}/input?sched=next",
+                    timeout=30,
+                )
+                break
+            except OSError:
+                if _time.time() > deadline0:
+                    raise
+                _time.sleep(0.3)
+        swapped = False
+        deadline = _time.time() + 600
+        while _time.time() < deadline and t.is_alive():
+            s = _json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{PORT + 2}/stats", timeout=30).read())
+            if s.get("schedule") == "uniform:1":
+                swapped = True
+                break
+            _time.sleep(0.3)
+        assert swapped, "schedule never switched"
+    finally:
+        t.join(timeout=600)
+    assert renderer.schedule == alt
