@@ -304,13 +304,17 @@ def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
                     on_swap()
             gaze, dx, dy, zoom, view, sched_ticks = state.take_input()
             if sched_ticks and len(schedules) > 1:
-                sched_i = (sched_i + sched_ticks) % len(schedules)
-                for r in {id(renderer): renderer, id(active): active}.values():
-                    s = schedules[sched_i]
-                    r.set_schedule(
-                        s if r is renderer else s.scaled(warmup_scale)
-                    )
-                print(f"viewer: schedule -> {sched_names[sched_i]}")
+                if scale > 1 or not full_ready.is_set():
+                    # deferred during warmup: the background thread may be
+                    # inside renderer.render() — set_schedule would race on
+                    # canvas/_pad (and the warmup dims were rounded for the
+                    # INITIAL schedule's stride only)
+                    with state.lock:
+                        state.sched_ticks += sched_ticks
+                else:
+                    sched_i = (sched_i + sched_ticks) % len(schedules)
+                    renderer.set_schedule(schedules[sched_i])
+                    print(f"viewer: schedule -> {sched_names[sched_i]}")
             if dx or dy:
                 active.set_camera(trackball.orbit(dx, dy))
             for _ in range(abs(zoom)):

@@ -265,6 +265,9 @@ class RenderConfig:
     # Separate phase-1 cap for PRIMARY rays (bounce 0): coherent primaries
     # need fewer pops (measured mean 5.3 vs 7.4 on box_city) so a tighter
     # cap sheds their lockstep tail sooner. 0 = use traversal_phase1_cap.
+    # Only meaningful when staging is active (traversal_phase1_cap > 0 and
+    # the BVH exceeds the small-table gate) — otherwise there is no phase-2
+    # retrace to catch capped rays, so the cap is ignored.
     traversal_phase1_cap_primary: int = 0
     # Hero-wavelength spectral path tracing (the reference's spectrum.h is
     # dead code — this framework renders it): the integrator carries a

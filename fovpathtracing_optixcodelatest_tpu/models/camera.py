@@ -143,11 +143,21 @@ class Trackball:
         return self.camera
 
     def zoom(self, direction: int) -> Camera:
-        """Scale eye distance by 10% per wheel tick (Trackball.cpp zoom)."""
+        """Scale the eye↔lookat distance by 10% per wheel tick (Trackball.cpp
+        zoom): lookat_fixed moves the EYE along the view ray; eye_fixed keeps
+        the first-person eye pinned and moves the LOOKAT instead (the same
+        invariant orbit honors per view mode)."""
         eye = np.asarray(self.camera.eye, dtype=np.float64)
         lookat = np.asarray(self.camera.lookat, dtype=np.float64)
-        d = eye - lookat
         scale = 0.9 if direction > 0 else 1.0 / 0.9
-        new_eye = lookat + d * scale
-        self.camera = dataclasses.replace(self.camera, eye=tuple(map(float, new_eye)))
+        if self.view_mode == "eye_fixed":
+            new_lookat = eye + (lookat - eye) * scale
+            self.camera = dataclasses.replace(
+                self.camera, lookat=tuple(map(float, new_lookat))
+            )
+        else:
+            new_eye = lookat + (eye - lookat) * scale
+            self.camera = dataclasses.replace(
+                self.camera, eye=tuple(map(float, new_eye))
+            )
         return self.camera

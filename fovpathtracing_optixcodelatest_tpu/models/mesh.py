@@ -167,8 +167,11 @@ class SceneGeometry:
     tri_texture: jnp.ndarray  # (T,) int32, -1 = untextured
     has_shading_normals: jnp.ndarray  # (T,) bool
     # packed per-triangle attribute rows so the integrator's hit shading costs
-    # ONE gather: [gn(3), uv0(2), uv1(2), uv2(2), mat_bits, tex_bits, pad...]
-    tri_pack: jnp.ndarray  # (T, 12) f32
+    # ONE gather: cols [gn(3), uv0(2), uv1(2), uv2(2), mat_bits, tex_bits,
+    # pad, pad] + cols 12:36 = the triangle's MaterialTable packed row (see
+    # MaterialTable.packed_rows_numpy — shading reads materials with NO
+    # second gather). Keep in sync with integrator.trace_paths slices.
+    tri_pack: jnp.ndarray  # (T, 36) f32
 
     @property
     def num_triangles(self) -> int:

@@ -46,7 +46,10 @@ class ProbeParams:
     # and selects by the accept test; the dependent second gather (and the
     # separate prob/idx/color/pdf fetches — 4 element-rate gathers, ~47 ms
     # per bounce at 1.9M rays, 20% of the round-2 frame) disappears.
-    sample_rows: jnp.ndarray  # (H*W, 13) f32
+    # None above SAMPLE_ROWS_MAX_TEXELS (the rows are a ~4x copy of the probe
+    # payload — a 4k HDR envmap would pay ~437 MB); probe_sample then falls
+    # back to the per-field gathers.
+    sample_rows: jnp.ndarray | None  # (H*W, 13) f32 | None
 
     @property
     def width(self) -> int:
@@ -94,6 +97,11 @@ def _build_alias(weights: np.ndarray):
     return prob.astype(np.float32), alias.astype(np.int32)
 
 
+# sample_rows (13 f32/texel) quadruples the probe's device payload; above
+# this texel count (2048x1024) skip it and keep the per-field gather path
+SAMPLE_ROWS_MAX_TEXELS = 1 << 21
+
+
 def build_cdf(data: np.ndarray) -> ProbeParams:
     """Build the 2-level luminance CDF (Probe.h BuildCDF semantics).
 
@@ -118,23 +126,25 @@ def build_cdf(data: np.ndarray) -> ProbeParams:
     # one-gather sampling rows: u/v are the texel-corner coords in the SAME
     # f32 ops the device formerly used (col/w, row/h) — bit-identical
     h, w = weight.shape
-    lin = np.arange(h * w, dtype=np.int64)
-    rgb_flat = rgb.reshape(-1, 3).astype(np.float32)
+    sample_rows = None
+    if h * w <= SAMPLE_ROWS_MAX_TEXELS:
+        lin = np.arange(h * w, dtype=np.int64)
+        rgb_flat = rgb.reshape(-1, 3).astype(np.float32)
 
-    def _uv(ids):
-        r = (ids // w).astype(np.int32)
-        c = (ids - r * w).astype(np.int32)
-        return (c.astype(np.float32) / np.float32(w),
-                r.astype(np.float32) / np.float32(h))
+        def _uv(ids):
+            r = (ids // w).astype(np.int32)
+            c = (ids - r * w).astype(np.int32)
+            return (c.astype(np.float32) / np.float32(w),
+                    r.astype(np.float32) / np.float32(h))
 
-    u_a, v_a = _uv(lin)
-    u_b, v_b = _uv(alias_idx.astype(np.int64))
-    sample_rows = np.concatenate([
-        alias_prob[:, None], u_a[:, None], v_a[:, None],
-        pdf_flat[:, None], rgb_flat,
-        u_b[:, None], v_b[:, None],
-        pdf_flat[alias_idx][:, None], rgb_flat[alias_idx],
-    ], axis=1).astype(np.float32)
+        u_a, v_a = _uv(lin)
+        u_b, v_b = _uv(alias_idx.astype(np.int64))
+        sample_rows = np.concatenate([
+            alias_prob[:, None], u_a[:, None], v_a[:, None],
+            pdf_flat[:, None], rgb_flat,
+            u_b[:, None], v_b[:, None],
+            pdf_flat[alias_idx][:, None], rgb_flat[alias_idx],
+        ], axis=1).astype(np.float32)
     return ProbeParams(**jax.device_put(dict(  # one batched upload
         data=rgb.astype(np.float32),
         pdf_x=pdf_x.astype(np.float32),

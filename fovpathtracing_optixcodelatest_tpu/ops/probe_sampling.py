@@ -114,12 +114,26 @@ def probe_sample(probe: ProbeParams, r1: jnp.ndarray, r2: jnp.ndarray):
     # models/probe.py sample_rows). Separate prob/idx/color/pdf fetches were
     # 4 element-rate gathers ≈ 47 ms/bounce at 1.9M rays (frame profile);
     # a packed row gather is ~11 ms and the dependent alias fetch vanishes.
-    g = jnp.take(probe.sample_rows, cand, axis=0)  # (N, 13)
-    accept = r2 < g[:, 0]
-    u = jnp.where(accept, g[:, 1], g[:, 7])
-    v = jnp.where(accept, g[:, 2], g[:, 8])
-    pdf = jnp.where(accept, g[:, 3], g[:, 9])
-    color = jnp.where(accept[:, None], g[:, 4:7], g[:, 10:13])
+    # Huge probes (> SAMPLE_ROWS_MAX_TEXELS) carry no sample_rows — memory
+    # beats the gather win there; fall back to the per-field path.
+    if probe.sample_rows is not None:
+        g = jnp.take(probe.sample_rows, cand, axis=0)  # (N, 13)
+        accept = r2 < g[:, 0]
+        u = jnp.where(accept, g[:, 1], g[:, 7])
+        v = jnp.where(accept, g[:, 2], g[:, 8])
+        pdf = jnp.where(accept, g[:, 3], g[:, 9])
+        color = jnp.where(accept[:, None], g[:, 4:7], g[:, 10:13])
+    else:
+        accept = r2 < jnp.take(probe.alias_prob, cand, axis=0)
+        lin = jnp.where(
+            accept, cand, jnp.take(probe.alias_idx, cand, axis=0)
+        )
+        row = lin // w
+        col = lin - row * w
+        color = jnp.take(probe.data.reshape(-1, 3), lin, axis=0)
+        pdf = jnp.take(probe.pdf_flat, lin, axis=0)
+        u = col.astype(jnp.float32) / w
+        v = row.astype(jnp.float32) / h
     # NOTE: the reference uses the texel *corner* (col/W, row/H) for both the
     # Jacobian and the returned direction (Probe.cuh:157-169); keep parity.
     sin_theta = jnp.sin(v * PI)

@@ -120,6 +120,7 @@ def worker(
     num_processes: int,
     coordinator: str = "localhost:9911",
     local_devices: Optional[int] = 4,
+    *,
     job: Optional[RenderJob] = None,
     **legacy_dims,
 ) -> Tuple:

@@ -212,3 +212,31 @@ def test_trackball_eye_fixed_mode():
         d_look_fixed / np.linalg.norm(d_look_fixed),
         atol=1e-6,
     )
+
+
+def test_trackball_zoom_respects_view_mode():
+    """zoom in eye_fixed mode moves the LOOKAT (eye stays pinned, like
+    orbit); lookat_fixed moves the EYE along the view ray."""
+    from fovpathtracing_optixcodelatest_tpu.models.camera import (
+        Camera,
+        Trackball,
+    )
+
+    cam = Camera(eye=(3.0, 1.0, 0.0), lookat=(0.0, 0.0, 0.0))
+
+    tb = Trackball(camera=cam, view_mode="eye_fixed")
+    tb.reinitialize_from_camera()
+    c2 = tb.zoom(+1)
+    assert c2.eye == cam.eye
+    assert c2.lookat != cam.lookat
+
+    tb3 = Trackball(camera=cam, view_mode="lookat_fixed")
+    tb3.reinitialize_from_camera()
+    c3 = tb3.zoom(+1)
+    assert c3.lookat == cam.lookat
+    assert c3.eye != cam.eye
+    # zoom-in shrinks the distance by 10% either way
+    d2 = np.linalg.norm(np.asarray(c2.eye) - np.asarray(c2.lookat))
+    d3 = np.linalg.norm(np.asarray(c3.eye) - np.asarray(c3.lookat))
+    np.testing.assert_allclose([d2, d3], [0.9 * np.sqrt(10.0)] * 2,
+                               rtol=1e-6)

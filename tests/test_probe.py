@@ -134,3 +134,33 @@ def test_gradient_sky_probe_builds():
     p = probe_mod.gradient_sky_probe(width=128, height=64)
     assert p.width == 128 and p.height == 64
     assert np.isfinite(np.asarray(p.data)).all()
+
+
+def test_huge_probe_falls_back_without_sample_rows():
+    """Probes above SAMPLE_ROWS_MAX_TEXELS skip the (H*W,13) one-gather rows
+    (a ~4x device-memory copy) and probe_sample must produce the SAME
+    samples through the per-field fallback path."""
+    import numpy as np
+
+    from fovpathtracing_optixcodelatest_tpu.models import probe as probe_mod
+    from fovpathtracing_optixcodelatest_tpu.ops.probe_sampling import (
+        probe_sample,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 32, 3)).astype(np.float32) + 0.01
+    small = probe_mod.build_cdf(img)
+    assert small.sample_rows is not None
+    old = probe_mod.SAMPLE_ROWS_MAX_TEXELS
+    try:
+        probe_mod.SAMPLE_ROWS_MAX_TEXELS = 4
+        big = probe_mod.build_cdf(img)
+    finally:
+        probe_mod.SAMPLE_ROWS_MAX_TEXELS = old
+    assert big.sample_rows is None
+    r1 = np.asarray(rng.random(512), np.float32)
+    r2 = np.asarray(rng.random(512), np.float32)
+    a = probe_sample(small, r1, r2)
+    b = probe_sample(big, r1, r2)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
