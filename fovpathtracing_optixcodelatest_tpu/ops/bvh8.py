@@ -123,37 +123,49 @@ def _bf16_up_bits(x: np.ndarray) -> np.ndarray:
     return neg ^ np.uint32(0x80000000)
 
 
-def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
-              order_slots: np.ndarray, leaf_size: int,
-              arity: int | None = None) -> WideBVH:
-    """Pack (M,A,6) boxes + (M,A,2) meta + leaf slot permutation into the
-    packed gather-friendly WideBVH layout.
+def pack_boxes_into(table: np.ndarray, row0: int, boxes: np.ndarray,
+                    entry: np.ndarray, arity: int) -> None:
+    """Write node rows (bf16-pair conservative boxes + entry codes) into
+    ``table`` rows ``row0..row0+M`` — the node-row layout in the module
+    docstring. Shared by single-level packing and the TLAS builder."""
+    m = boxes.shape[0]
+    lo = boxes[..., 0:3]  # (M, A, 3)
+    hi = boxes[..., 3:6]
+    finite = np.isfinite(lo) & np.isfinite(hi)
+    lo_b = np.where(finite, _bf16_down_bits(np.where(finite, lo, 0.0)),
+                    np.float32(np.inf).view(np.uint32) & np.uint32(0xFFFF0000))
+    hi_b = np.where(finite, _bf16_up_bits(np.where(finite, hi, 0.0)),
+                    (-np.float32(np.inf)).view(np.uint32) & np.uint32(0xFFFF0000))
+    pair = (lo_b & np.uint32(0xFFFF0000)) | (hi_b >> np.uint32(16))
+    table[row0 : row0 + m, : 3 * arity] = (
+        pair.astype(np.uint32).reshape(m, 3 * arity).view(np.float32)
+    )
+    table[row0 : row0 + m, 3 * arity : 4 * arity] = (
+        entry.astype(np.int32).view(np.float32)
+    )
 
-    ``meta`` convention on input: [a, count] with count>0 leaf (a=slot
-    offset), 0 internal (a=wide node id), -1 empty. ``order_slots`` maps slot
-    index -> original tri id (-1 pad).
+
+def pack_region_into(table, leaf_perm, row0, tri_base, boxes, meta, tris,
+                     order_slots, leaf_size, arity):
+    """Pack one collapsed wide BVH (node rows then leaf rows) into ``table``
+    starting at ``row0``, entry codes offset by ``row0`` and triangle ids by
+    ``tri_base``. Returns (rows_used, entry) — ``entry`` is the (M, A) node
+    child-code array (absolute codes) for stack-depth walks.
+
+    ``meta`` convention: [a, count] with count>0 leaf (a=slot offset),
+    0 internal (a=wide node id), -1 empty; ``order_slots`` maps slot index ->
+    local tri id (-1 pad). The ONE writer of the row layout — pack_wide and
+    ops/tlas.py both go through here.
     """
-    m, a_width = boxes.shape[0], boxes.shape[1]
-    arity = a_width if arity is None else arity
-    assert a_width == arity
+    m = boxes.shape[0]
     counts = meta[..., 1]
     a_vals = meta[..., 0]
     leaf_mask = counts > 0
     lw, ls = np.nonzero(leaf_mask)
-    num_leaves = max(len(lw), 1)
     s_len = len(order_slots)
-    u = m + num_leaves
-    width = max(4 * arity, 10 * leaf_size)
 
-    table = np.zeros((u, width), dtype=np.float32)
-    table[:, 9 * leaf_size : 10 * leaf_size] = np.float32(
-        np.int32(-1).view(np.float32)
-    )
-    leaf_perm = np.full((u, leaf_size), -1, dtype=np.int32)
-
-    # --- leaf rows -------------------------------------------------------
     entry = np.full((m, arity), EMPTY, dtype=np.int32)
-    entry[counts == 0] = a_vals[counts == 0]
+    entry[counts == 0] = a_vals[counts == 0] + row0
     if len(lw):
         offs = a_vals[lw, ls].astype(np.int64)
         cnts = counts[lw, ls].astype(np.int64)
@@ -168,27 +180,43 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
         e2 = p[:, :, 2] - v0
         packed = np.concatenate([v0, e1, e2], axis=-1)  # (L, leaf_size, 9)
         packed[~valid] = 0.0
-        table[m:, : 9 * leaf_size] = packed.reshape(len(lw), 9 * leaf_size)
-        table[m:, 9 * leaf_size : 10 * leaf_size] = (
-            tid.astype(np.int32).view(np.float32)
+        lr0 = row0 + m
+        table[lr0 : lr0 + len(lw), : 9 * leaf_size] = packed.reshape(
+            len(lw), 9 * leaf_size
         )
-        leaf_perm[m:] = tid.astype(np.int32)
+        gid = np.where(tid >= 0, tid + tri_base, -1).astype(np.int32)
+        table[lr0 : lr0 + len(lw), 9 * leaf_size : 10 * leaf_size] = (
+            gid.view(np.float32)
+        )
+        leaf_perm[lr0 : lr0 + len(lw)] = gid
         # leaf entry code addresses the unified row, one's-complement-offset
-        entry[lw, ls] = -(m + np.arange(len(lw), dtype=np.int32)) - 1
+        entry[lw, ls] = -(lr0 + np.arange(len(lw), dtype=np.int32)) - 1
+    pack_boxes_into(table, row0, boxes, entry, arity)
+    return m + len(lw), entry
 
-    # --- node rows: bf16-pair boxes + entry codes ------------------------
-    lo = boxes[..., 0:3]  # (M, A, 3)
-    hi = boxes[..., 3:6]
-    finite = np.isfinite(lo) & np.isfinite(hi)
-    lo_b = np.where(finite, _bf16_down_bits(np.where(finite, lo, 0.0)),
-                    np.float32(np.inf).view(np.uint32) & np.uint32(0xFFFF0000))
-    hi_b = np.where(finite, _bf16_up_bits(np.where(finite, hi, 0.0)),
-                    (-np.float32(np.inf)).view(np.uint32) & np.uint32(0xFFFF0000))
-    pair = (lo_b & np.uint32(0xFFFF0000)) | (hi_b >> np.uint32(16))
-    table[:m, : 3 * arity] = (
-        pair.astype(np.uint32).reshape(m, 3 * arity).view(np.float32)
+
+def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
+              order_slots: np.ndarray, leaf_size: int,
+              arity: int | None = None) -> WideBVH:
+    """Pack (M,A,6) boxes + (M,A,2) meta + leaf slot permutation into the
+    packed gather-friendly WideBVH layout (see pack_region_into for the
+    ``meta``/``order_slots`` conventions)."""
+    m, a_width = boxes.shape[0], boxes.shape[1]
+    arity = a_width if arity is None else arity
+    assert a_width == arity
+    num_leaves = max(int((meta[..., 1] > 0).sum()), 1)
+    u = m + num_leaves
+    width = max(4 * arity, 10 * leaf_size)
+
+    table = np.zeros((u, width), dtype=np.float32)
+    table[:, 9 * leaf_size : 10 * leaf_size] = np.float32(
+        np.int32(-1).view(np.float32)
     )
-    table[:m, 3 * arity : 4 * arity] = entry.view(np.float32)
+    leaf_perm = np.full((u, leaf_size), -1, dtype=np.int32)
+    _, entry = pack_region_into(
+        table, leaf_perm, 0, 0, boxes, meta, tris, order_slots,
+        leaf_size, arity,
+    )
 
     # exact tree height -> minimal correct stack depth (no silent drops)
     height = 0

@@ -46,8 +46,8 @@ from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import (
     INST_BIT,
     LEAF_SIZE,
     WideBVH,
-    _bf16_down_bits,
-    _bf16_up_bits,
+    pack_boxes_into,
+    pack_region_into,
 )
 from fovpathtracing_optixcodelatest_tpu.ops.bvh_native import collapse_native
 
@@ -70,69 +70,6 @@ def _stack_depth_of(entry: np.ndarray, arity: int) -> int:
         if height > 64:
             break
     return (arity - 1) * height + 2
-
-
-def _pack_boxes(table: np.ndarray, row0: int, boxes: np.ndarray,
-                entry: np.ndarray, arity: int) -> None:
-    """Write bf16-pair boxes + entry codes into table rows row0.. (the
-    pack_wide node-row layout)."""
-    m = boxes.shape[0]
-    lo = boxes[..., 0:3]
-    hi = boxes[..., 3:6]
-    finite = np.isfinite(lo) & np.isfinite(hi)
-    lo_b = np.where(finite, _bf16_down_bits(np.where(finite, lo, 0.0)),
-                    np.float32(np.inf).view(np.uint32) & np.uint32(0xFFFF0000))
-    hi_b = np.where(finite, _bf16_up_bits(np.where(finite, hi, 0.0)),
-                    (-np.float32(np.inf)).view(np.uint32) & np.uint32(0xFFFF0000))
-    pair = (lo_b & np.uint32(0xFFFF0000)) | (hi_b >> np.uint32(16))
-    table[row0 : row0 + m, : 3 * arity] = (
-        pair.astype(np.uint32).reshape(m, 3 * arity).view(np.float32)
-    )
-    table[row0 : row0 + m, 3 * arity : 4 * arity] = (
-        entry.astype(np.int32).view(np.float32)
-    )
-
-
-def _pack_region(table, leaf_perm, row0, tri_base, boxes, meta, tris,
-                 order_slots, leaf_size, arity):
-    """Pack one mesh's collapsed wide BVH into table rows starting at row0,
-    with entry codes already offset (internal += row0, leaf rows at
-    row0+m..) and triangle ids offset by tri_base. Returns rows used."""
-    m = boxes.shape[0]
-    counts = meta[..., 1]
-    a_vals = meta[..., 0]
-    leaf_mask = counts > 0
-    lw, ls = np.nonzero(leaf_mask)
-    s_len = len(order_slots)
-
-    entry = np.full((m, arity), EMPTY, dtype=np.int32)
-    entry[counts == 0] = a_vals[counts == 0] + row0
-    if len(lw):
-        offs = a_vals[lw, ls].astype(np.int64)
-        cnts = counts[lw, ls].astype(np.int64)
-        k = np.arange(leaf_size, dtype=np.int64)
-        slot_idx = np.clip(offs[:, None] + k[None, :], 0, s_len - 1)
-        valid = k[None, :] < cnts[:, None]
-        tid = np.where(valid, order_slots[slot_idx], -1)
-        safe = np.maximum(tid, 0)
-        p = tris[safe]
-        v0 = p[:, :, 0]
-        e1 = p[:, :, 1] - v0
-        e2 = p[:, :, 2] - v0
-        packed = np.concatenate([v0, e1, e2], axis=-1)
-        packed[~valid] = 0.0
-        lr0 = row0 + m
-        table[lr0 : lr0 + len(lw), : 9 * leaf_size] = packed.reshape(
-            len(lw), 9 * leaf_size
-        )
-        gid = np.where(tid >= 0, tid + tri_base, -1).astype(np.int32)
-        table[lr0 : lr0 + len(lw), 9 * leaf_size : 10 * leaf_size] = (
-            gid.view(np.float32)
-        )
-        leaf_perm[lr0 : lr0 + len(lw)] = gid
-        entry[lw, ls] = -(lr0 + np.arange(len(lw), dtype=np.int32)) - 1
-    _pack_boxes(table, row0, boxes, entry, arity)
-    return m + len(lw)
 
 
 def build_instanced(
@@ -223,7 +160,7 @@ def build_instanced(
         np.clip(t_avals[lw, ls].astype(np.int64), 0, max(len(t_order) - 1, 0))
     ].astype(np.int32)
     t_entry[lw, ls] = INST_BIT | inst_ids
-    _pack_boxes(table, 0, t_boxes, t_entry, arity)
+    pack_boxes_into(table, 0, t_boxes, t_entry, arity)
 
     # instance rows
     max_blas_sd = 2
@@ -239,13 +176,13 @@ def build_instanced(
     for (boxes, meta, order), t, (row0, tb) in zip(
         blas, unique_tris, blas_rows
     ):
-        _pack_region(table, leaf_perm, row0, tb, boxes, meta,
-                     np.asarray(t, np.float32), order, leaf_size, arity)
-        ent = (
-            table[row0 : row0 + boxes.shape[0],
-                  3 * arity : 4 * arity].view(np.int32)
+        _, ent = pack_region_into(
+            table, leaf_perm, row0, tb, boxes, meta,
+            np.asarray(t, np.float32), order, leaf_size, arity,
         )
-        max_blas_sd = max(max_blas_sd, _stack_depth_of_region(ent, arity, row0))
+        max_blas_sd = max(
+            max_blas_sd, _stack_depth_of_region(ent, arity, row0)
+        )
 
     tlas_sd = _stack_depth_of(t_entry, arity)
     stack_depth = tlas_sd + max_blas_sd + 2
