@@ -246,6 +246,11 @@ class RenderConfig:
     # Sort rays alive-first before each traversal so chunks of dead rays exit
     # their while_loop immediately (pairs with traverse8's chunked lax.map).
     compact_bounces: bool = True
+    # Trace only a static active-lane budget per frame: ring-rejected launch
+    # lanes (~27% of the reference schedule at 960x540) are sorted to the
+    # tail and never enter trace_paths. The budget is a rigorous any-gaze
+    # bound (raygen.pass_active_bound) so results are bit-identical.
+    frame_compaction: bool = True
     # AA-jitter sample generator: "random" (the reference's shipped path,
     # sample.h USE_RANDOM :253), "stratified" or "blue_noise" (its inactive
     # generators, sample.h:6-214) — see ops/samplers.py.

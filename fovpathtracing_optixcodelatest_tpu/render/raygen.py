@@ -55,6 +55,47 @@ def pass_ray_count(p: FoveationPass, width: int, height: int) -> int:
 RNG_STRIDE = 64  # max spp any schedule may use (reference max is 32)
 
 
+def pass_active_bound(p: FoveationPass, width: int, height: int,
+                      k: int | None = None) -> int:
+    """Static upper bound on the RING-ACTIVE lanes of one pass, valid for
+    EVERY gaze position inside the frame.
+
+    The merged wavefront launches every lattice position of every pass and
+    marks ring-rejected ones inactive (~27% of the reference schedule's
+    lanes at 960x540) — renderer.frame_wavefront sorts actives first and
+    traces only this static prefix, so dead launch lanes cost nothing.
+    Bounds are rigorous lattice-geometry facts, not estimates:
+
+    - ring pass [ri, ro]: every stride-f cell whose corner lies in the ring
+      fits inside the ring dilated by the cell diagonal d = f*sqrt(2), so
+      count <= area(pi((ro+d)^2 - max(ri-d,0)^2)) / f^2.
+    - periphery (ro = inf): excluded corners are those inside disc(ri); the
+      quarter-disc of radius ri_eff = min(ri - 2d, W/2 - d, H/2 - d) points
+      into the frame from any in-frame gaze, and cells covering its erosion
+      lie fully inside disc(ri), so excluded >= pi*ri_eff^2 / 4 / f^2.
+    """
+    import math
+
+    lw, lh = pass_launch_dims(p, width, height)
+    k = p.spp if k is None else k
+    total = lw * lh
+    f = float(p.factor)
+    d = f * math.sqrt(2.0)
+    if p.r_outer < 1e8:  # finite ring (annulus / fovea)
+        ro = p.r_outer + d
+        ri = max(p.r_inner - d, 0.0)
+        ring = math.pi * (ro * ro - ri * ri) / (f * f)
+        return min(total, int(math.ceil(ring))) * k
+    if p.r_inner <= 0.0:  # uniform pass — no ring rejection
+        return total * k
+    # periphery: full grid minus a guaranteed-excluded quarter disc
+    ri_eff = min(p.r_inner - 2.0 * d, width / 2.0 - d, height / 2.0 - d)
+    if ri_eff <= 0.0:
+        return total * k
+    excluded = int(math.pi * ri_eff * ri_eff / 4.0 / (f * f))
+    return max(total - excluded, 0) * k
+
+
 def generate_pass_rays(
     camera: CameraParams,
     p: FoveationPass,

@@ -131,10 +131,50 @@ def frame_wavefront(
         k: jnp.concatenate([r[k] for r in rays_list], axis=0)
         for k in ("origin", "direction", "active", "ray_ids")
     }
-    out = trace_paths(
-        scene, merged["origin"], merged["direction"], merged["active"],
-        path_key, config, ray_ids=merged["ray_ids"],
+    n_total = merged["origin"].shape[0]
+    budget = sum(
+        raygen.pass_active_bound(p, w, h, r["samples_here"])
+        for p, r in zip(schedule.passes, rays_list)
     )
+    if config.frame_compaction and budget < n_total:
+        # ring-budget compaction: actives-first sort, trace only the static
+        # any-gaze bound prefix (pass_active_bound — rigorous, so no active
+        # lane can land past it), unsort results into the original layout.
+        # Dead lanes produce exactly the zeros trace_paths would have
+        # produced for them: bit-identical output, ~20% less of every
+        # per-lane cost at the reference schedule.
+        assert n_total < (1 << 30)
+        o, d = merged["origin"], merged["direction"]
+        ikey = jnp.where(
+            merged["active"], 0, jnp.int32(1) << 30
+        ) | jnp.arange(n_total, dtype=jnp.int32)
+        s = jax.lax.sort(
+            [ikey, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             merged["ray_ids"]],
+            num_keys=1,
+        )
+        out_sub = trace_paths(
+            scene,
+            jnp.stack(s[1:4], axis=1)[:budget],
+            jnp.stack(s[4:7], axis=1)[:budget],
+            (s[0] < (1 << 30))[:budget],
+            path_key, config, ray_ids=s[7][:budget],
+        )
+        tail = jnp.zeros((n_total - budget, 3), jnp.float32)
+        fields = ("radiance", "alpha", "normal", "albedo")
+        ops = [s[0] & ((1 << 30) - 1)]
+        for f in fields:
+            full = jnp.concatenate([out_sub[f], tail], axis=0)
+            ops += [full[:, 0], full[:, 1], full[:, 2]]
+        u = jax.lax.sort(ops, num_keys=1)
+        out = {"traces": out_sub["traces"]}
+        for j, f in enumerate(fields):
+            out[f] = jnp.stack(u[1 + 3 * j : 4 + 3 * j], axis=1)
+    else:
+        out = trace_paths(
+            scene, merged["origin"], merged["direction"], merged["active"],
+            path_key, config, ray_ids=merged["ray_ids"],
+        )
     offsets = []
     ofs = 0
     for r in rays_list:

@@ -93,3 +93,74 @@ def test_scaled_schedule_is_hole_free():
             holes = sc.validate_coverage(w, h, gaze=gaze)
             assert holes.sum() == 0, f"scale {s} gaze {gaze}: {holes.sum()}"
     assert base.scaled(1) is base
+
+
+def test_pass_active_bound_is_safe_over_gazes():
+    """frame_compaction correctness rests on pass_active_bound being a TRUE
+    upper bound for every gaze: an undercount would silently drop active
+    rays. Sweep exact ring-active counts over a dense gaze grid."""
+    from fovpathtracing_optixcodelatest_tpu.render.raygen import (
+        pass_active_bound,
+    )
+
+    for sched, (w, h) in (
+        (FoveationSchedule.reference_32_16_8(), (960, 540)),
+        (FoveationSchedule.reference_32_16_8_sealed(), (960, 540)),
+        (FoveationSchedule.reference_32_16_8(37, 120).scaled(1), (480, 272)),
+        (FoveationSchedule.sweep(32, 4, 2), (960, 540)),
+    ):
+        for p in sched.passes:
+            lw = p.launch_w if p.launch_w is not None else w // p.factor
+            lh = p.launch_h if p.launch_h is not None else h // p.factor
+            bound = pass_active_bound(p, w, h, 1)
+            worst = 0
+            for gx in list(range(0, w, 61)) + [w - 1]:
+                for gy in list(range(0, h, 53)) + [h - 1]:
+                    ox = gx - p.center_offset if p.centered else 0
+                    oy = gy - p.center_offset if p.centered else 0
+                    xs = np.arange(lw) * p.factor + ox
+                    ys = np.arange(lh) * p.factor + oy
+                    dx = xs[None, :] - gx
+                    dy = ys[:, None] - gy
+                    r = np.sqrt(dx * dx + dy * dy)
+                    n = int(((r >= p.r_inner) & (r <= p.r_outer)).sum())
+                    worst = max(worst, n)
+            assert worst <= bound, (p, worst, bound)
+
+
+def test_frame_compaction_bit_identical():
+    """frame_compaction=True must render the exact frame of =False (actives
+    sorted to a static prefix, zeros for the ring-dead tail)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from fovpathtracing_optixcodelatest_tpu.config import RenderConfig
+    from fovpathtracing_optixcodelatest_tpu.models import scenes
+    from fovpathtracing_optixcodelatest_tpu.models.scene import build_scene
+    from fovpathtracing_optixcodelatest_tpu.render import film
+    from fovpathtracing_optixcodelatest_tpu.render.renderer import (
+        render_frame,
+    )
+
+    meshes, cam = scenes.cornell(sphere_subdiv=0)
+    scene = build_scene(meshes)
+    w, h = 64, 48
+    sched = FoveationSchedule.reference_32_16_8(inner=6, outer=14)
+    camp = dataclasses.replace(cam, aspect=w / h).device_params()
+    pad = film.schedule_padding(sched, w, h)
+    key = jax.random.PRNGKey(3)
+    frames = {}
+    for flag in (True, False):
+        config = RenderConfig(width=w, height=h, max_depth=2,
+                              frame_compaction=flag)
+        canvas = film.new_canvas(w, h, pad)
+        # off-center gaze exercises clipped rings
+        _, frame, stats = render_frame(
+            scene, camp, jnp.asarray(11, jnp.int32),
+            jnp.asarray(40, jnp.int32), jnp.asarray(0, jnp.int32),
+            canvas, key, config, sched,
+        )
+        frames[flag] = (np.asarray(frame), int(np.asarray(stats["traces"])))
+    np.testing.assert_array_equal(frames[True][0], frames[False][0])
+    assert frames[True][1] == frames[False][1]
