@@ -1,0 +1,130 @@
+"""Demand-loaded texture subsystem (models/demand.py — the lib/DemandLoading
+twin, SURVEY L9). Exercises the full request/fill/upload cycle end-to-end:
+frame 1 samples fall back to tile means + record requests; after
+process_requests().wait() + launch_prepare(), the same samples are exact;
+LRU eviction keeps the atlas bounded; Ticket honors Ticket.h semantics.
+"""
+
+import numpy as np
+
+from fovpathtracing_optixcodelatest_tpu.models import demand
+from fovpathtracing_optixcodelatest_tpu.models.demand import (
+    TILE,
+    DemandLoader,
+    demand_tex2d,
+    page_requests,
+)
+
+import jax
+import jax.numpy as jnp
+
+
+def _checker_image(w, h):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (xx / w).astype(np.float32),
+            (yy / h).astype(np.float32),
+            ((xx // TILE + yy // TILE) % 2).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    return img
+
+
+def test_demand_cycle_fallback_then_exact():
+    img = _checker_image(256, 192)  # 4x3 = 12 tiles
+    loader = DemandLoader(max_pages=32)
+    tid = loader.create_texture(img)
+    ctx = loader.launch_prepare()
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random(4096, dtype=np.float32))
+    v = jnp.asarray(rng.random(4096, dtype=np.float32))
+    tex = jnp.full((4096,), tid, jnp.int32)
+
+    sample = jax.jit(
+        lambda ctx, t, u, v: demand_tex2d(ctx, t, u, v)
+    )
+    rgb1, res1, pages = sample(ctx, tex, u, v)
+    assert not bool(np.asarray(res1).any())  # nothing resident yet
+
+    # fallback = per-tile mean (never wildly off for this smooth image)
+    tx = np.minimum((np.asarray(u) * 256).astype(int), 255)
+    ty = np.minimum((np.asarray(v) * 192).astype(int), 191)
+    exact = img[ty, tx]
+    assert np.abs(np.asarray(rgb1) - exact).max() > 1e-4  # means, not texels
+    assert np.abs(np.asarray(rgb1)[:, 0] - exact[:, 0]).max() < 0.2
+
+    req = page_requests(loader.total_pages, pages, res1)
+    ticket = loader.process_requests(req)
+    assert ticket.num_tasks_total() == int(np.asarray(req).sum())
+    assert ticket.wait(timeout=60)
+    assert ticket.num_tasks_remaining() == 0
+    ctx2 = loader.launch_prepare()
+
+    rgb2, res2, _ = sample(ctx2, tex, u, v)
+    assert bool(np.asarray(res2).all())
+    np.testing.assert_allclose(np.asarray(rgb2), exact, rtol=0, atol=1e-6)
+    assert loader.num_tiles_loaded == int(np.asarray(req).sum())
+
+
+def test_demand_lru_eviction_bounded_atlas():
+    img = _checker_image(512, 512)  # 8x8 = 64 tiles
+    loader = DemandLoader(max_pages=8)  # atlas holds 8 of 64
+    tid = loader.create_texture(img)
+    assert loader.total_pages == 64
+
+    sample = jax.jit(lambda ctx, t, u, v: demand_tex2d(ctx, t, u, v))
+    # sweep tile rows in order; each batch requests 8 fresh tiles
+    for row in range(4):
+        ctx = loader.launch_prepare()
+        u = jnp.asarray((np.arange(8) + 0.5) / 8.0, jnp.float32)
+        v = jnp.full((8,), (row + 0.5) / 8.0, jnp.float32)
+        t = jnp.full((8,), tid, jnp.int32)
+        _, res, pages = sample(ctx, t, u, v)
+        loader.touch(np.asarray(pages)[np.asarray(res)])
+        req = page_requests(loader.total_pages, pages, res)
+        loader.process_requests(req).wait(timeout=60)
+    # atlas stayed bounded; later rows evicted earlier rows
+    assert (np.asarray(loader._page_table) >= 0).sum() <= 8
+    assert loader.num_tiles_evicted >= 16
+    # the most recent row is resident and exact
+    ctx = loader.launch_prepare()
+    u = jnp.asarray((np.arange(8) + 0.5) / 8.0, jnp.float32)
+    v = jnp.full((8,), 3.5 / 8.0, jnp.float32)
+    rgb, res, _ = sample(ctx, jnp.full((8,), tid, jnp.int32), u, v)
+    assert bool(np.asarray(res).all())
+    tx = np.minimum((np.asarray(u) * 512).astype(int), 511)
+    ty = np.minimum((np.asarray(v) * 512).astype(int), 511)
+    np.testing.assert_allclose(np.asarray(rgb), img[ty, tx], atol=1e-6)
+
+
+def test_demand_multi_texture_page_bases():
+    a = _checker_image(128, 64)  # 2x1 = 2 tiles
+    b = _checker_image(64, 128)  # 1x2 = 2 tiles
+    loader = DemandLoader(max_pages=8)
+    ta, tb = loader.create_texture(a), loader.create_texture(b)
+    ctx = loader.launch_prepare()
+    t = jnp.asarray([ta, ta, tb, tb], jnp.int32)
+    u = jnp.asarray([0.1, 0.9, 0.5, 0.5], jnp.float32)
+    v = jnp.asarray([0.5, 0.5, 0.1, 0.9], jnp.float32)
+    _, res, pages = demand_tex2d(ctx, t, u, v)
+    req = page_requests(loader.total_pages, pages, res)
+    assert int(np.asarray(req).sum()) == 4  # all four distinct tiles
+    loader.process_requests(req).wait(timeout=60)
+    ctx = loader.launch_prepare()
+    rgb, res, _ = demand_tex2d(ctx, t, u, v)
+    assert bool(np.asarray(res).all())
+    for i, (img, uu, vv) in enumerate(
+        [(a, 0.1, 0.5), (a, 0.9, 0.5), (b, 0.5, 0.1), (b, 0.5, 0.9)]
+    ):
+        h, w = img.shape[:2]
+        px = img[min(int(vv * h), h - 1), min(int(uu * w), w - 1)]
+        np.testing.assert_allclose(np.asarray(rgb)[i], px, atol=1e-6)
+
+
+def test_ticket_before_processing():
+    t = demand.Ticket()
+    assert t.num_tasks_total() == -1  # Ticket.h: -1 before processing
+    assert t.num_tasks_remaining() == -1
