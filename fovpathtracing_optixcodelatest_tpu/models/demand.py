@@ -55,7 +55,10 @@ class DemandContext:
     atlas: jnp.ndarray  # (P, TILE, TILE, 3) f32 resident pages
     page_table: jnp.ndarray  # (total_pages,) int32 -> atlas slot | -1
     tile_mean: jnp.ndarray  # (total_pages, 3) f32 fallback color
-    tex_meta: jnp.ndarray  # (n_tex, 4) int32 [w, h, tiles_x, page_base]
+    # (n_tex, 7) int32 [w, h, tiles_x, page_base, udim, vdim, sub_base]:
+    # udim == 0 -> plain texture; else a UDIM grid texture whose (su, sv)
+    # sub-image is texture id sub_base + sv*udim + su (createUdimTexture)
+    tex_meta: jnp.ndarray
 
     @property
     def num_pages(self) -> int:
@@ -83,7 +86,19 @@ def demand_tex2d(
     samples get the tile-mean fallback. Feed ``page_id``/``resident`` to
     ``page_requests`` to build the frame's request bitmap.
     """
-    meta = jnp.take(ctx.tex_meta, tex_id, axis=0)  # (N, 4)
+    meta = jnp.take(ctx.tex_meta, tex_id, axis=0)  # (N, 7)
+    # UDIM indirection (tex2DGradUdim twin): pick the sub-image by the uv
+    # integer cell, then sample it with the fractional coords
+    udim, vdim, sub_base = meta[:, 4], meta[:, 5], meta[:, 6]
+    is_udim = udim > 0
+    uw = _wrap01(u) * jnp.maximum(udim, 1)
+    vw = _wrap01(v) * jnp.maximum(vdim, 1)
+    su = jnp.minimum(uw.astype(jnp.int32), jnp.maximum(udim - 1, 0))
+    sv = jnp.minimum(vw.astype(jnp.int32), jnp.maximum(vdim - 1, 0))
+    sub_id = jnp.where(is_udim, sub_base + sv * udim + su, tex_id)
+    u = jnp.where(is_udim, uw - su, u)
+    v = jnp.where(is_udim, vw - sv, v)
+    meta = jnp.take(ctx.tex_meta, sub_id, axis=0)
     w, h, tiles_x, base = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
     tx = jnp.minimum((_wrap01(u) * w).astype(jnp.int32), w - 1)
     ty = jnp.minimum((_wrap01(v) * h).astype(jnp.int32), h - 1)
@@ -122,6 +137,7 @@ class Ticket:
         self._remaining = -1
         self._lock = threading.Lock()
         self._done = threading.Event()
+        self.errors: list = []  # (page, exception) from failed fills
 
     def _start(self, total: int) -> None:
         with self._lock:
@@ -147,7 +163,10 @@ class Ticket:
     def wait(self, timeout: Optional[float] = None) -> bool:
         if self._total == 0:
             return True
-        return self._done.wait(timeout)
+        ok = self._done.wait(timeout)
+        if self.errors:
+            raise RuntimeError(f"tile fills failed: {self.errors[:3]}")
+        return ok
 
 
 class DemandLoader:
@@ -157,7 +176,9 @@ class DemandLoader:
     def __init__(self, max_pages: int = 256, num_threads: int = 4):
         self.max_pages = max_pages
         self._images: List[np.ndarray] = []
-        self._meta: List[Tuple[int, int, int, int]] = []  # w,h,tiles_x,base
+        # per-texture metadata rows [w, h, tiles_x, page_base, udim, vdim,
+        # sub_base] (see DemandContext.tex_meta)
+        self._meta: List[Tuple[int, ...]] = []
         self._total_pages = 0
         self._page_table: np.ndarray = np.zeros((0,), np.int32)
         self._tile_means: List[np.ndarray] = []
@@ -188,7 +209,7 @@ class DemandLoader:
         tiles_y = -(-h // TILE)
         base = self._total_pages
         self._images.append(img)
-        self._meta.append((w, h, tiles_x, base))
+        self._meta.append((w, h, tiles_x, base, 0, 0, 0))
         n = tiles_x * tiles_y
         self._total_pages += n
         self._page_table = np.concatenate(
@@ -225,7 +246,7 @@ class DemandLoader:
                         if self._tile_means
                         else np.zeros((0, 3), np.float32),
                         tex_meta=np.asarray(self._meta, np.int32).reshape(
-                            -1, 4
+                            -1, 7
                         ),
                     )
                 )
@@ -275,34 +296,60 @@ class DemandLoader:
         return victim
 
     def _tex_of_page(self, page: int) -> int:
-        for i, (_, _, _, base) in enumerate(self._meta):
-            nxt = (
-                self._meta[i + 1][3]
-                if i + 1 < len(self._meta)
-                else self._total_pages
-            )
-            if base <= page < nxt:
-                return i
-        raise KeyError(page)
+        """Owning texture = the page-owning entry (tiles_x > 0) with the
+        largest page_base <= page (UDIM grid rows own no pages)."""
+        best = -1
+        for i, m in enumerate(self._meta):
+            if m[2] > 0 and m[3] <= page and (
+                best < 0 or m[3] > self._meta[best][3]
+            ):
+                best = i
+        if best < 0:
+            raise KeyError(page)
+        return best
+
+    # ---- DemandLoader::createUdimTexture --------------------------------
+    def create_udim_texture(self, images, udim: int, vdim: int) -> int:
+        """Register a UDIM grid of udim x vdim sub-images (row-major:
+        images[sv * udim + su]); returns the grid texture id for
+        demand_tex2d, which resolves (u, v) in [0,1) to the sub-image cell
+        and samples it — the reference's createUdimTexture/tex2DGradUdim
+        (DemandLoader.h). Sub-images page independently."""
+        assert len(images) == udim * vdim and udim > 0 and vdim > 0
+        sub_base = len(self._images) + 1  # ids AFTER the grid texture's own
+        grid_id = len(self._images)
+        # the grid row owns no pages (tiles_x = 0)
+        self._images.append(np.zeros((1, 1, 3), np.float32))
+        self._meta.append((1, 1, 0, self._total_pages, udim, vdim, sub_base))
+        self._tile_means.append(np.zeros((0, 3), np.float32))
+        for img in images:
+            self.create_texture(img)
+        self._table_dirty = True
+        return grid_id
 
     def _fill_tile(self, page: int, slot: int, ticket: Ticket) -> None:
-        tex = self._tex_of_page(page)
-        w, h, tiles_x, base = self._meta[tex]
-        local = page - base
-        ty, tx = divmod(local, tiles_x)
-        img = self._images[tex]
-        tile = np.zeros((TILE, TILE, 3), np.float32)
-        y0, x0 = ty * TILE, tx * TILE
-        sub = img[y0 : y0 + TILE, x0 : x0 + TILE]
-        tile[: sub.shape[0], : sub.shape[1]] = sub
-        self._atlas[slot] = tile
-        self._page_table[page] = slot
-        self._slot_page[slot] = page
-        self._stamp += 1
-        self._lru[slot] = self._stamp
-        self._dirty_slots.add(slot)
-        self.num_tiles_loaded += 1
-        ticket._task_done()
+        try:
+            tex = self._tex_of_page(page)
+            w, h, tiles_x, base = self._meta[tex][:4]
+            local = page - base
+            ty, tx = divmod(local, tiles_x)
+            img = self._images[tex]
+            tile = np.zeros((TILE, TILE, 3), np.float32)
+            y0, x0 = ty * TILE, tx * TILE
+            sub = img[y0 : y0 + TILE, x0 : x0 + TILE]
+            tile[: sub.shape[0], : sub.shape[1]] = sub
+            self._atlas[slot] = tile
+            self._page_table[page] = slot
+            self._slot_page[slot] = page
+            self._stamp += 1
+            self._lru[slot] = self._stamp
+            self._dirty_slots.add(slot)
+            self.num_tiles_loaded += 1
+        except Exception as e:  # fail LOUD at wait(): executor eats raises
+            ticket.errors.append((page, e))
+            self._free.append(slot)
+        finally:
+            ticket._task_done()
 
     def touch(self, pages) -> None:
         """Record page usage for LRU (the reference tracks usage via its

@@ -128,3 +128,32 @@ def test_ticket_before_processing():
     t = demand.Ticket()
     assert t.num_tasks_total() == -1  # Ticket.h: -1 before processing
     assert t.num_tasks_remaining() == -1
+
+
+def test_demand_udim_texture():
+    """createUdimTexture twin: a 2x2 UDIM grid resolves (u,v) to the right
+    sub-image cell; sub-images page independently."""
+    imgs = [np.full((64, 64, 3), c, np.float32)
+            for c in (0.1, 0.3, 0.5, 0.7)]  # one tile each
+    loader = DemandLoader(max_pages=8)
+    gid = loader.create_udim_texture(imgs, udim=2, vdim=2)
+    ctx = loader.launch_prepare()
+    t = jnp.full((4,), gid, jnp.int32)
+    u = jnp.asarray([0.25, 0.75, 0.25, 0.75], jnp.float32)
+    v = jnp.asarray([0.25, 0.25, 0.75, 0.75], jnp.float32)
+    rgb, res, pages = demand_tex2d(ctx, t, u, v)
+    assert not bool(np.asarray(res).any())
+    # tile-mean fallback of a constant tile ~= the color (f32 sum rounding)
+    np.testing.assert_allclose(
+        np.asarray(rgb)[:, 0], [0.1, 0.3, 0.5, 0.7], atol=1e-3
+    )
+    loader.process_requests(
+        page_requests(loader.total_pages, pages, res)
+    ).wait(timeout=60)
+    ctx = loader.launch_prepare()
+    rgb2, res2, _ = demand_tex2d(ctx, t, u, v)
+    assert bool(np.asarray(res2).all())
+    np.testing.assert_allclose(
+        np.asarray(rgb2)[:, 0], [0.1, 0.3, 0.5, 0.7], atol=1e-6
+    )
+    assert loader.num_tiles_loaded == 4
