@@ -81,7 +81,19 @@ def pass_active_bound(p: FoveationPass, width: int, height: int,
     total = lw * lh
     f = float(p.factor)
     d = f * math.sqrt(2.0)
-    if p.r_outer < 1e8:  # finite ring (annulus / fovea)
+    if p.centered:
+        # position - gaze = i*factor - center_offset is gaze-INDEPENDENT, so
+        # the ring-active count is a constant — compute it exactly
+        import numpy as np
+
+        xs = np.arange(lw) * p.factor - p.center_offset
+        ys = np.arange(lh) * p.factor - p.center_offset
+        r = np.sqrt(
+            xs[None, :].astype(np.float64) ** 2
+            + ys[:, None].astype(np.float64) ** 2
+        )
+        return int(((r >= p.r_inner) & (r <= p.r_outer)).sum()) * k
+    if p.r_outer < 1e8:  # finite ring, grid not gaze-locked: dilated bound
         ro = p.r_outer + d
         ri = max(p.r_inner - d, 0.0)
         ring = math.pi * (ro * ro - ri * ri) / (f * f)
