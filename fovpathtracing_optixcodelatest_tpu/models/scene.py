@@ -38,15 +38,23 @@ class Scene:
     materials: MaterialTable
     textures: TextureArray
     probe: ProbeParams
+    # optional demand-loaded texture context (models/demand.py — the
+    # lib/DemandLoading twin): when set, the integrator routes albedo
+    # texture lookups through demand_tex2d and reports the frame's page
+    # request bitmap in its stats ('demand_requests').
+    demand: object = None
 
     @property
     def num_triangles(self) -> int:
         return self.geom.num_triangles
 
+    def with_demand(self, demand) -> "Scene":
+        return dataclasses.replace(self, demand=demand)
+
 
 jax.tree_util.register_dataclass(
     Scene,
-    data_fields=["geom", "bvh", "materials", "textures", "probe"],
+    data_fields=["geom", "bvh", "materials", "textures", "probe", "demand"],
     meta_fields=[],
 )
 

@@ -341,6 +341,10 @@ def trace_paths(
     )
     if spectral:
         carry["lam_alive"] = jnp.ones((n, nh), dtype=bool)
+    if scene.demand is not None:
+        carry["demand_req"] = jnp.zeros(
+            (scene.demand.page_table.shape[0],), jnp.uint8
+        )
 
     def bounce(carry, depth):
         o = carry["origin"]
@@ -446,7 +450,23 @@ def trace_paths(
             + bu * attr[:, 5:7]
             + bv * attr[:, 7:9]
         )
-        tex_col = sample_bilinear_wrap(scene.textures, tex_id, uv)
+        if scene.demand is not None:
+            # demand-loaded texture path (models/demand.py): point-sample
+            # the resident tile atlas; non-resident texels use the tile-mean
+            # fallback and are recorded in the frame's request bitmap
+            from fovpathtracing_optixcodelatest_tpu.models.demand import (
+                demand_tex2d,
+            )
+
+            tex_col, d_res, d_page = demand_tex2d(
+                scene.demand, jnp.maximum(tex_id, 0), uv[:, 0], uv[:, 1]
+            )
+            want = hit_mask & (tex_id >= 0)
+            new_req = carry["demand_req"].at[d_page].max(
+                (want & ~d_res).astype(jnp.uint8)
+            )
+        else:
+            tex_col = sample_bilinear_wrap(scene.textures, tex_id, uv)
         albedo = jnp.where((tex_id >= 0)[:, None], tex_col, m.color)
 
         # medium interface (cu:673-683); spectral mode disperses the IOR
@@ -585,15 +605,20 @@ def trace_paths(
         )
         if spectral:
             new_carry["lam_alive"] = new_lam_alive
+        if scene.demand is not None:
+            new_carry["demand_req"] = new_req
         return new_carry, None
 
     carry, _ = lax.scan(
         bounce, carry, jnp.arange(config.max_depth, dtype=jnp.int32)
     )
-    return {
+    out = {
         "radiance": carry["radiance"],
         "alpha": carry["alpha"],
         "normal": carry["normal"],
         "albedo": carry["albedo"],
         "traces": carry["traces"],
     }
+    if scene.demand is not None:
+        out["demand_requests"] = carry["demand_req"] > 0
+    return out

@@ -30,6 +30,8 @@ from fovpathtracing_optixcodelatest_tpu.models.probe import ProbeParams
 from fovpathtracing_optixcodelatest_tpu.models.scene import Scene, build_scene
 from fovpathtracing_optixcodelatest_tpu.ops import probe_sampling as probe_ops
 from fovpathtracing_optixcodelatest_tpu.render import film, raygen
+from dataclasses import replace as dataclasses_replace
+
 from fovpathtracing_optixcodelatest_tpu.render.integrator import trace_paths
 
 
@@ -168,6 +170,8 @@ def frame_wavefront(
             ops += [full[:, 0], full[:, 1], full[:, 2]]
         u = jax.lax.sort(ops, num_keys=1)
         out = {"traces": out_sub["traces"]}
+        if "demand_requests" in out_sub:  # global bitmap — no unsort needed
+            out["demand_requests"] = out_sub["demand_requests"]
         for j, f in enumerate(fields):
             out[f] = jnp.stack(u[1 + 3 * j : 4 + 3 * j], axis=1)
     else:
@@ -228,6 +232,8 @@ def render_frame(
 
     frame = film.finalize(canvas, pad, config)
     stats = {"traces": out["traces"], "rays": jnp.asarray(total_rays)}
+    if "demand_requests" in out:
+        stats["demand_requests"] = out["demand_requests"]
     return canvas, frame, stats
 
 
@@ -313,16 +319,17 @@ class Renderer:
         probe: Optional[ProbeParams] = None,
         texture_images=None,
         seed: int = 0,
+        demand_loader=None,
     ):
         if scene is None:
             if meshes is None:
                 raise ValueError("provide meshes or a prebuilt scene")
             scene = build_scene(meshes, probe=probe, texture_images=texture_images)
         elif probe is not None:
-            scene = Scene(
-                geom=scene.geom, bvh=scene.bvh, materials=scene.materials,
-                textures=scene.textures, probe=probe,
-            )
+            scene = dataclasses_replace(scene, probe=probe)
+        self.demand_loader = demand_loader
+        if demand_loader is not None:
+            scene = scene.with_demand(demand_loader.launch_prepare())
         self.scene = scene
         self.config = config
         self.schedule = schedule or FoveationSchedule.reference_32_16_8()
@@ -346,11 +353,7 @@ class Renderer:
 
     def set_probe(self, probe: ProbeParams) -> None:
         """setProbe (SimplePathtracer.cpp:292-308)."""
-        s = self.scene
-        self.scene = Scene(
-            geom=s.geom, bvh=s.bvh, materials=s.materials,
-            textures=s.textures, probe=probe,
-        )
+        self.scene = dataclasses_replace(self.scene, probe=probe)
         self.subframe = 0
 
     def set_schedule(self, schedule: FoveationSchedule) -> None:
@@ -439,6 +442,27 @@ class Renderer:
         c = np.asarray(self.canvas)
         return c[p : p + self.config.height, p : p + self.config.width, :3]
 
+    def process_demand_requests(self) -> int:
+        """Demand-texture maintenance between frames: fetch the last frame's
+        page-request bitmap, fill tiles (DemandLoader worker pool), swap the
+        refreshed context into the scene. Returns the number of pages
+        requested. No-op without a demand loader."""
+        if self.demand_loader is None:
+            return 0
+        req = getattr(self, "_stats", {}).get("demand_requests")
+        if req is None:
+            return 0
+        req = np.asarray(req)
+        n = int(req.sum())
+        if n:
+            self.demand_loader.process_requests(req).wait()
+        self.scene = self.scene.with_demand(self.demand_loader.launch_prepare())
+        return n
+
     @property
     def stats(self):
-        return {k: int(v) for k, v in getattr(self, "_stats", {}).items()}
+        return {
+            k: int(v)
+            for k, v in getattr(self, "_stats", {}).items()
+            if getattr(v, "ndim", 0) == 0
+        }

@@ -157,3 +157,47 @@ def test_demand_udim_texture():
         np.asarray(rgb2)[:, 0], [0.1, 0.3, 0.5, 0.7], atol=1e-6
     )
     assert loader.num_tiles_loaded == 4
+
+
+def test_demand_textures_in_render_loop():
+    """End-to-end: a textured scene rendered through Renderer with a
+    DemandLoader — frame 1 uses tile-mean fallbacks and records page
+    requests; after process_demand_requests() the next frame samples the
+    resident tiles. The converged frame matches the plain resident-texture
+    render of the same scene (point-sampling deltas aside: compare the
+    request lifecycle + non-trivial texture influence)."""
+    import dataclasses as _dc
+
+    from fovpathtracing_optixcodelatest_tpu.config import (
+        FoveationSchedule as FS,
+        RenderConfig,
+    )
+    from fovpathtracing_optixcodelatest_tpu.models.camera import Camera
+    from fovpathtracing_optixcodelatest_tpu.models.material import Material
+    from fovpathtracing_optixcodelatest_tpu.models.mesh import make_quad
+    from fovpathtracing_optixcodelatest_tpu.models.scene import build_scene
+    from fovpathtracing_optixcodelatest_tpu.render.renderer import Renderer
+
+    img = _checker_image(128, 128)  # 2x2 tiles
+    wall = make_quad((-2, -2, 0), (2, -2, 0), (2, 2, 0), (-2, 2, 0),
+                     Material(color=(1.0, 1.0, 1.0)), texture_id=0)
+    scene = build_scene([wall])
+    loader = DemandLoader(max_pages=8)
+    tid = loader.create_texture(img)
+    assert tid == 0  # matches the mesh's texture_id
+    cam = Camera(eye=(0, 0, 6), lookat=(0, 0, 0), fov_y=45.0, aspect=4 / 3)
+    config = RenderConfig(width=32, height=24, max_depth=2)
+    r = Renderer(scene=scene, config=config,
+                 schedule=FS.uniform(2), demand_loader=loader)
+    r.set_camera(_dc.replace(cam, aspect=32 / 24))
+    assert r.scene.demand is not None
+
+    r.render()
+    n_req = r.process_demand_requests()
+    assert n_req > 0  # frame 1 sampled non-resident tiles
+    assert loader.num_tiles_loaded == n_req
+    f2 = r.render()
+    n_req2 = r.process_demand_requests()
+    assert n_req2 == 0  # everything the camera sees is now resident
+    assert f2.shape == (24, 32, 3)
+    assert f2.max() > 0
