@@ -82,6 +82,12 @@ def parse_args(argv=None):
                    help="comma-separated schedule specs ('F_A_P' or "
                         "'uniform:N') the viewer's 's' key cycles through, "
                         "in addition to the launch schedule")
+    p.add_argument("--demand-textures", action="store_true",
+                   help="page textures on demand (64-texel tile atlas + "
+                        "request feedback; the reference's DemandLoading "
+                        "library) instead of fully-resident uploads")
+    p.add_argument("--demand-pages", type=int, default=1024,
+                   help="demand-texture atlas capacity in 64x64 tiles")
     p.add_argument("--no-progressive", action="store_true",
                    help="disable the viewer's progressive startup (quarter-"
                         "res warmup frames while the full-res executable "
@@ -173,13 +179,25 @@ def main(argv=None) -> int:
     })
     schedule = build_schedule(args.schedule)
 
+    demand_loader = None
+    if args.demand_textures and textures:
+        # route textures through the demand-loading subsystem (lib/
+        # DemandLoading twin): tiles page in as frames sample them
+        from fovpathtracing_optixcodelatest_tpu.models.demand import (
+            DemandLoader,
+        )
+
+        demand_loader = DemandLoader(max_pages=args.demand_pages)
+        for img in textures:
+            demand_loader.create_texture(img)
+        textures = []  # no resident TextureArray copies
     scene = build_scene(meshes, probe=probe, texture_images=textures)
     print(
         f"scene: {scene.num_triangles} tris, bvh rows {scene.bvh.num_rows}",
         file=sys.stderr,
     )
     renderer = Renderer(scene=scene, config=config, schedule=schedule,
-                        seed=args.seed)
+                        seed=args.seed, demand_loader=demand_loader)
     renderer.set_camera(cam)
     if args.resume:
         ckpt.resume_renderer(renderer, args.resume)
@@ -237,6 +255,13 @@ def main(argv=None) -> int:
 
         timers.begin("render")
         frame = renderer.render(gaze=gaze)
+        if renderer.demand_loader is not None:
+            n_req = renderer.process_demand_requests()
+            if n_req:
+                print(f"demand: +{n_req} tiles "
+                      f"({renderer.demand_loader.num_tiles_loaded} loaded, "
+                      f"{renderer.demand_loader.num_tiles_evicted} evicted)",
+                      file=sys.stderr)
         timers.end("render")
 
         timers.begin("display")

@@ -326,6 +326,8 @@ def serve(renderer, trackball, port: int = 8000, max_frames: int | None = None,
             else:  # AOV views (the denoiser guide layers + a-trous output)
                 frame, aovs = active.render_aov(gaze=g)
                 frame = _view_frame(view, aovs, active.config)
+            if getattr(active, "demand_loader", None) is not None:
+                active.process_demand_requests()
             render_ms = (time.perf_counter() - t0) * 1e3
             if scale > 1:  # nearest-neighbor upscale to the display canvas
                 frame = np.repeat(np.repeat(frame, scale, 0), scale, 1)

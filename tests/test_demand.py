@@ -201,3 +201,35 @@ def test_demand_textures_in_render_loop():
     assert n_req2 == 0  # everything the camera sees is now resident
     assert f2.shape == (24, 32, 3)
     assert f2.max() > 0
+
+
+def test_demand_textures_cli(tmp_path):
+    """--demand-textures routes OBJ textures through the DemandLoader; the
+    multi-frame CLI run pages tiles in after frame 1 and still renders."""
+    from fovpathtracing_optixcodelatest_tpu.apps.main import main
+    from fovpathtracing_optixcodelatest_tpu.utils.image import (
+        load_png,
+        save_png,
+    )
+
+    tex = np.zeros((8, 8, 3), dtype=np.float32)
+    tex[::2, ::2] = 1.0
+    save_png(str(tmp_path / "checker.png"), tex)
+    (tmp_path / "scene.mtl").write_text(
+        "newmtl ground\nKd 1 1 1\nmap_Kd checker.png\n"
+    )
+    obj = ["mtllib scene.mtl"]
+    for v in [(-5, 0, 5), (5, 0, 5), (5, 0, -5), (-5, 0, -5)]:
+        obj.append(f"v {v[0]} {v[1]} {v[2]}")
+    obj += ["vt 0 0", "vt 1 0", "vt 1 1", "vt 0 1",
+            "usemtl ground", "f 1/1 2/2 3/3 4/4"]
+    (tmp_path / "scene.obj").write_text("\n".join(obj))
+    out = tmp_path / "render.png"
+    rc = main([
+        "--obj", str(tmp_path / "scene.obj"), "--width", "32", "--height",
+        "24", "--frames", "2", "--schedule", "uniform:1",
+        "--demand-textures", "--demand-pages", "4", "--out", str(out),
+    ])
+    assert rc == 0 and out.exists()
+    img = load_png(str(out))
+    assert img.shape == (24, 32, 3) and img.max() > 0.05
