@@ -107,6 +107,8 @@ def test_pass_active_bound_is_safe_over_gazes():
         (FoveationSchedule.reference_32_16_8(), (960, 540)),
         (FoveationSchedule.reference_32_16_8_sealed(), (960, 540)),
         (FoveationSchedule.reference_32_16_8(37, 120).scaled(1), (480, 272)),
+        (FoveationSchedule.reference_32_16_8_sealed().scaled(2), (480, 272)),
+        (FoveationSchedule.reference_32_16_8_sealed().scaled(4), (240, 136)),
         (FoveationSchedule.sweep(32, 4, 2), (960, 540)),
     ):
         for p in sched.passes:
