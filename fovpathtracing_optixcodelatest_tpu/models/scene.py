@@ -71,9 +71,9 @@ def build_scene(
     Default lighting is the reference's AMBIENT_LIGHT preset: a constant
     probe of 5.0 * 0.5 = 2.5 per channel (main.cpp:225-233 loadColor call).
 
-    ``leaf_size``/``arity`` override the BVH packing (default L14/A16 = the
-    measured VMEM-regime optimum; narrower rows, e.g. L6 → 64 f32 cols, cut
-    bytes/gather for tables that spill to HBM).
+    ``leaf_size``/``arity`` override the BVH packing (default L6/A16 = 64 f32
+    cols — the measured frame-scale optimum; the row gather costs ~0.8 us per
+    column at 32k indices, so narrow rows beat the fewer-pops L14 layout).
     """
     geom, materials = flatten_meshes(meshes)
     tris = host_triangles(meshes)

@@ -49,7 +49,13 @@ import numpy as np
 from fovpathtracing_optixcodelatest_tpu.ops.bvh import build_bvh2
 
 ARITY = 16
-LEAF_SIZE = 14  # best measured default (A16/L14: fewest pops/ray, PLAN.md)
+# Best measured default (round 3): L6/A16 packs rows into 64 f32 columns
+# (nodes 3*16 box floats + 16 codes = 64; leaves 9*6 + 6 ids = 60). The row
+# gather is ~48 us fixed + ~0.8 us/col at 32k indices, so the 140-col L14
+# rows cost 2.6x more per pop than the extra pops L6 adds: frame-scale
+# 638 -> 538 ms, raw primary closest-hit 221 -> 87 ms (scratch/r3_width_frame,
+# exp_r3_width64; PLAN.md rule 16).
+LEAF_SIZE = 6
 EMPTY = np.int32(-(2**31))
 
 # legacy (round-1) constants, used by the experimental Pallas kernels
