@@ -266,7 +266,9 @@ class RenderConfig:
     # Two-phase closest-hit (traverse8.closest_hit_staged): cap phase-1
     # chunks at this many lockstep iterations, then re-trace the straggler
     # rays packed together (measured +51% on bounce rays; 0 disables).
-    traversal_phase1_cap: int = 12
+    # 14 is the measured frame-scale optimum for the L6/A16 tree (sweep
+    # 10/12/14/16/18 -> 568/539/515/516/522 ms on the bench config).
+    traversal_phase1_cap: int = 14
     # Separate phase-1 cap for PRIMARY rays (bounce 0): coherent primaries
     # need fewer pops (measured mean 5.3 vs 7.4 on box_city) so a tighter
     # cap sheds their lockstep tail sooner. 0 = use traversal_phase1_cap.

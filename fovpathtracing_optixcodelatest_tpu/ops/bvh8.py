@@ -224,17 +224,9 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
         leaf_size, arity,
     )
 
-    # exact tree height -> minimal correct stack depth (no silent drops)
-    height = 0
-    frontier = np.asarray([0], dtype=np.int64)
-    while frontier.size:
-        kids = entry[frontier]  # (F, A)
-        internal = kids >= 0
-        frontier = kids[internal].astype(np.int64)
-        height += 1
-        if height > 64:  # defensive: malformed tree
-            break
-    stack_depth = (arity - 1) * height + 2
+    # exact worst-case occupancy (adversarial pop order) + 1 safety row —
+    # typically far below the full-tree closed form (arity-1)*height+2
+    stack_depth = lifo_stack_bound(entry) + 1
 
     dev = jax.device_put((table, leaf_perm))  # one batched upload
     return WideBVH(
@@ -245,6 +237,56 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
         packed=True,
         stack_depth=stack_depth,
     )
+
+
+def lifo_stack_bound(entry: np.ndarray, row0: int = 0) -> int:
+    """EXACT worst-case traversal stack occupancy for the wide tree whose
+    node rows carry child codes ``entry`` (M, A).
+
+    The traversal pops one entry and pushes all non-EMPTY children of an
+    internal node, so occupancy peaks right after a push: base + c(v), and
+    descending into child u leaves base + c(v) - 1 behind. Worst case over
+    (adversarial) pop orders is popping the deepest child first:
+
+        g(v) = c(v) - 1 + max(1, max over internal children u of g(u))
+
+    and the answer is max(1, g(root)). The closed-form (arity-1)*height+2
+    is this bound for a FULL tree — real trees thin out near the leaves,
+    so the exact bound is typically ~30-50% smaller (fewer one-hot rows in
+    every push/pop of ops/traverse8.py, whose stack selects are ~16% of
+    frame time at depth 62).
+
+    ``entry`` codes: >= 0 internal child at absolute row (code - row0 is
+    the local node index); < 0 leaf or EMPTY; codes with INST_BIT count as
+    occupying a slot but contribute no subtree here (ops/tlas.py accounts
+    for the BLAS separately).
+    """
+    m = entry.shape[0]
+    if m == 0:
+        return 1
+    internal = (entry >= 0) & ((entry & INST_BIT) == 0)
+    child_local = np.where(internal, entry - row0, 0).astype(np.int64)
+    valid = internal & (child_local >= 0) & (child_local < m)
+    c = (entry != EMPTY).sum(axis=1).astype(np.int64)  # slots pushed
+    # BFS levels from the root, then a reverse-level bottom-up pass
+    levels = []
+    frontier = np.asarray([0], dtype=np.int64)
+    seen = np.zeros(m, dtype=bool)
+    seen[0] = True
+    while frontier.size:
+        levels.append(frontier)
+        kids = child_local[frontier]
+        k = kids[valid[frontier]]
+        k = k[~seen[k]]
+        if k.size:
+            k = np.unique(k)
+        seen[k] = True
+        frontier = k
+    g = np.zeros(m, dtype=np.int64)
+    for lvl in reversed(levels):
+        kid_g = np.where(valid[lvl], g[child_local[lvl]], 0)  # (F, A)
+        g[lvl] = c[lvl] - 1 + np.maximum(1, kid_g.max(axis=1))
+    return int(max(1, g[0]))
 
 
 def _surface_area(lo, hi):

@@ -60,16 +60,9 @@ def _collapse(tris: np.ndarray, leaf_size: int, arity: int):
 
 
 def _stack_depth_of(entry: np.ndarray, arity: int) -> int:
-    height = 0
-    frontier = np.asarray([0], dtype=np.int64)
-    while frontier.size:
-        kids = entry[frontier]
-        internal = (kids >= 0) & ((kids & INST_BIT) == 0)
-        frontier = (kids[internal] & ~INST_BIT).astype(np.int64)
-        height += 1
-        if height > 64:
-            break
-    return (arity - 1) * height + 2
+    """Exact worst-case TLAS stack occupancy (bvh8.lifo_stack_bound;
+    instance codes occupy slots but have no subtree here)."""
+    return bvh8_py.lifo_stack_bound(entry)
 
 
 def build_instanced(
@@ -184,8 +177,12 @@ def build_instanced(
             max_blas_sd, _stack_depth_of_region(ent, arity, row0)
         )
 
+    # exact combined bound: when a lane is inside a BLAS, the TLAS residue
+    # on its stack is at most (g_tlas - 1) — the instance entry was popped
+    # before the BLAS root was pushed — and the BLAS peak adds g_blas.
+    # +1 safety row.
     tlas_sd = _stack_depth_of(t_entry, arity)
-    stack_depth = tlas_sd + max_blas_sd + 2
+    stack_depth = max(tlas_sd, tlas_sd - 1 + max_blas_sd) + 1
 
     dev = jax.device_put((table, leaf_perm))
     return WideBVH(
@@ -202,18 +199,9 @@ def build_instanced(
 
 
 def _stack_depth_of_region(entry: np.ndarray, arity: int, row0: int) -> int:
-    """Worst-case stack entries of one BLAS region whose internal codes are
-    absolute row ids starting at row0."""
-    height = 0
-    frontier = np.asarray([row0], dtype=np.int64)
-    while frontier.size:
-        kids = entry[frontier - row0]
-        internal = kids >= 0
-        frontier = kids[internal].astype(np.int64)
-        height += 1
-        if height > 64:
-            break
-    return (arity - 1) * height + 2
+    """Exact worst-case stack occupancy of one BLAS region whose internal
+    codes are absolute row ids starting at row0 (bvh8.lifo_stack_bound)."""
+    return bvh8_py.lifo_stack_bound(entry, row0=row0)
 
 
 def scene_tables_from_instanced(instanced_scene) -> tuple:

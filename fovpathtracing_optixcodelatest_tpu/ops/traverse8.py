@@ -31,6 +31,8 @@ culling + first-hit termination (deviceProgram.cu:224-248).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -42,8 +44,14 @@ from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import EMPTY, INST_BIT, WideBVH
 # global batch max — the cheap tail-latency fix for lockstep traversal.
 # 32k (vs round-1's 16k): with the phase-1 iteration cap bounding lockstep
 # tails, the per-chunk fixed cost (~0.3 ms lax.map step) dominates smaller
-# chunks.
-DEFAULT_CHUNK = 1 << 15
+# chunks. FOVTPU_CHUNK / FOVTPU_DRAINS are perf-tuning env overrides
+# (read once at import) for re-measuring these constants on new hardware
+# or tree shapes without editing the module.
+DEFAULT_CHUNK = int(os.environ.get("FOVTPU_CHUNK", 1 << 15))
+
+# Stale-pop drains per iteration (_pop_fresh): 2 measured best on the
+# bench tree shape.
+DEFAULT_DRAINS = int(os.environ.get("FOVTPU_DRAINS", 2))
 
 # FALSIFIED round 3 (do not retry): widening phase-2/straggler chunks to
 # 128k to cut idle lax.map steps — idle-step cost SCALES with chunk width
@@ -372,7 +380,7 @@ def _closest_loop(bvh, o_r, d_r, inv_r, sp0, t0, tmin, tmax, step_limit,
             op, dp, ip = list(op), list(dp), list(ip)
         tlimit = jnp.minimum(t, tmax)
         entry, tn_pop, sp, fresh = _pop_fresh(
-            stack, tn_stack, sp, tlimit, drains=2
+            stack, tn_stack, sp, tlimit, drains=DEFAULT_DRAINS
         )
         if instanced:
             is_inst = fresh & (entry >= 0) & ((entry & INST_BIT) != 0)

@@ -198,7 +198,10 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     pend = p1["pending"] & (s[0] < _DEAD)
     tri1 = jnp.where(p1["hit"], p1["tri_id"], -1)
     # pend-first key keeps the ORIGINAL index in the low bits, so phase-2
-    # results unsort straight to original ray order — no intermediate unsort
+    # results unsort straight to original ray order — no intermediate unsort.
+    # (Packing leftover-stack work bits into the key to make p2 chunks
+    # pop-homogeneous was measured a wash: 522 vs 515 ms — p2 re-traces
+    # from the ROOT, so leftover sp is a poor proxy for remaining work.)
     ikey2 = jnp.where(pend, 0, _DEAD) | (s[0] & (_DEAD - 1))
     s2 = lax.sort(
         [ikey2, s[1], s[2], s[3], s[4], s[5], s[6],
