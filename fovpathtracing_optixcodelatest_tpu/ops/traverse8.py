@@ -53,6 +53,14 @@ DEFAULT_CHUNK = int(os.environ.get("FOVTPU_CHUNK", 1 << 15))
 # bench tree shape.
 DEFAULT_DRAINS = int(os.environ.get("FOVTPU_DRAINS", 2))
 
+# Dynamic chunk trip count (A/B escape hatch): skip trailing all-inactive
+# chunks entirely instead of stepping them through lax.map. Each chunk step
+# costs ~467 us of FIXED staging even when its while_loop exits immediately
+# (scratch/exp_r3_mapstep.py), and the integrator's alive-first compaction
+# parks dead lanes in trailing chunks — later bounces and straggler passes
+# are mostly idle steps.
+DYN_TRIP = os.environ.get("FOVTPU_DYNTRIP", "1") != "0"
+
 # FALSIFIED round 3 (do not retry): widening phase-2/straggler chunks to
 # 128k to cut idle lax.map steps — idle-step cost SCALES with chunk width
 # (phase-2 closest 85 -> 204 ms at frame scale). lax.map's fixed per-step
@@ -275,6 +283,35 @@ def _push(stack, sp, entries_c, cnt):
     stack = jnp.where(valid, eac, stack)
     sp = jnp.minimum(sp + cnt, stack.shape[0])
     return stack, sp
+
+
+def _dyn_trip_count(sp0):
+    """Chunks at index >= trip contain NO active lane and are never stepped
+    (their outputs are the caller's neutral init — exactly what an
+    all-inactive chunk's while_loop would produce). Rigorous for ANY active
+    layout: trip = 1 + index of the last chunk with any active lane; the
+    alive-first compaction sorts make that a tight prefix."""
+    anyc = jnp.any(sp0 > 0, axis=(1, 2))  # (C,)
+    idx = jnp.arange(anyc.shape[0], dtype=jnp.int32)
+    return jnp.max(jnp.where(anyc, idx + 1, 0))
+
+
+def _chunk_map(step, xs, init_out, trip):
+    """``lax.map(step, xs)`` with a DYNAMIC trip count. ``init_out`` is the
+    stacked (C, ...) neutral output pytree for never-stepped chunks."""
+
+    def body(i, outs):
+        args = tuple(
+            lax.dynamic_index_in_dim(x, i, axis=0, keepdims=False)
+            for x in xs
+        )
+        res = step(args)
+        return tuple(
+            lax.dynamic_update_index_in_dim(o, r, i, axis=0)
+            for o, r in zip(outs, res)
+        )
+
+    return lax.fori_loop(0, trip, body, init_out)
 
 
 def _pad_rays(origin, direction, active):
@@ -615,6 +652,22 @@ def closest_hit(
         outs = step(tuple(x[0] for x in xs))
         t, u, v, best, inst, pending, steps = outs
         steps_total = steps
+    elif DYN_TRIP:
+        instanced = bvh.num_instances > 0
+        zf = jnp.zeros((c, SUB, l), jnp.float32)
+        zi = jnp.zeros((c, SUB, l), jnp.int32)
+        init = (
+            zf, zf, zf,                      # t, u, v (dead lanes: masked)
+            jnp.full((c, SUB, l), -1, jnp.int32),  # best: miss
+            jnp.full((c, SUB, l), -1, jnp.int32) if instanced
+            else jnp.zeros((c,), jnp.int32),       # inst (dummy scalar o.w.)
+            zi,                              # pending: no work left
+            jnp.zeros((c,), jnp.int32),      # steps
+        )
+        t, u, v, best, inst, pending, steps = _chunk_map(
+            step, xs, init, _dyn_trip_count(sp0)
+        )
+        steps_total = jnp.sum(steps)
     else:
         t, u, v, best, inst, pending, steps = jax.lax.map(step, xs)
         steps_total = jnp.sum(steps)
@@ -780,6 +833,9 @@ def occluded(
 
     if c == 1:
         occ, pend = step(tuple(x[0] for x in xs))
+    elif DYN_TRIP:
+        zi = jnp.zeros((c, SUB, l), jnp.int32)
+        occ, pend = _chunk_map(step, xs, (zi, zi), _dyn_trip_count(sp0))
     else:
         occ, pend = jax.lax.map(step, xs)
     occ_out = occ.reshape(-1)[:n0] > 0
