@@ -276,6 +276,11 @@ class RenderConfig:
     # the BVH exceeds the small-table gate) — otherwise there is no phase-2
     # retrace to catch capped rays, so the cap is ignored.
     traversal_phase1_cap_primary: int = 0
+    # Carry the normal/albedo AOVs through the frame-compaction unsort
+    # (render_frame_aov sets this; plain render_frame never reads them, and
+    # the two (N, 3) payloads cost ~6 ms of sort operands per frame at
+    # 1.92M lanes).
+    need_aov: bool = False
     # Hero-wavelength spectral path tracing (the reference's spectrum.h is
     # dead code — this framework renders it): the integrator carries a
     # NUM_HERO-wavelength spectral throughput and CIE-integrates per bounce.

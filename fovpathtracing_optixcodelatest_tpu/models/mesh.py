@@ -170,8 +170,12 @@ class SceneGeometry:
     # ONE gather: cols [gn(3), uv0(2), uv1(2), uv2(2), mat_bits, tex_bits,
     # pad, pad] + cols 12:36 = the triangle's MaterialTable packed row (see
     # MaterialTable.packed_rows_numpy — shading reads materials with NO
-    # second gather). Keep in sync with integrator.trace_paths slices.
-    tri_pack: jnp.ndarray  # (T, 36) f32
+    # second gather) + cols 36:45 = [v0, e1, e2] (the Möller-Trumbore inputs,
+    # bit-identical to the BVH leaf packing, so shading can RECOMPUTE t/u/v
+    # from tri_id instead of carrying them through the compaction sorts —
+    # row gathers are width-flat on TPU, sort cost is per-operand). Keep in
+    # sync with integrator.trace_paths slices.
+    tri_pack: jnp.ndarray  # (T, 48) f32
 
     @property
     def num_triangles(self) -> int:
@@ -258,7 +262,7 @@ def flatten_meshes(meshes: Sequence[HostMesh]) -> tuple[SceneGeometry, MaterialT
     # lanes either way, so the extra 24 columns are physically free.
     mat_rows = MaterialTable.packed_rows_numpy(materials)
     safe_mat = np.clip(mat_all.astype(np.int64), 0, len(mat_rows) - 1)
-    tri_pack = np.zeros((t_count, 36), dtype=np.float32)
+    tri_pack = np.zeros((t_count, 48), dtype=np.float32)
     tri_pack[:, 0:3] = gn
     tri_pack[:, 3:5] = uv0_all
     tri_pack[:, 5:7] = uv1_all
@@ -266,6 +270,11 @@ def flatten_meshes(meshes: Sequence[HostMesh]) -> tuple[SceneGeometry, MaterialT
     tri_pack[:, 9] = mat_all.astype(np.int32).view(np.float32)
     tri_pack[:, 10] = tex_all.astype(np.int32).view(np.float32)
     tri_pack[:, 12:36] = mat_rows[safe_mat]
+    # Möller-Trumbore inputs: same np.float32 values the BVH leaf rows pack,
+    # so a shading-time re-intersection reproduces the traversal's t/u/v bits
+    tri_pack[:, 36:39] = v0_all
+    tri_pack[:, 39:42] = e1_all
+    tri_pack[:, 42:45] = e2_all
 
     # One device_put for the whole geometry (separate per-array uploads cost
     # a tunnel round trip each; the batched pytree put is ~10x cheaper).

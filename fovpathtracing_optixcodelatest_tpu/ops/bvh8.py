@@ -18,10 +18,15 @@ Node row layout (W = max(4A, 10*leaf_size) f32 columns; first M rows):
                                       | bf16_bits(hi_a), bitcast to f32.
     decode: u = bitcast_u32(col); lo = bitcast_f32(u & 0xFFFF0000);
             hi = bitcast_f32(u << 16).
-  cols [3A + c]: entry code i32 bitcast to f32:
-    >= 0  internal child (wide row id)
-    <  0  leaf child: -(unified leaf row + 1)
-    EMPTY (INT32_MIN) empty slot.
+  cols [3A + c]: entry code ("ucode") i32 bitcast to f32:
+    (row << 2) | kind, kind 0 = internal (row = wide row id), 1 = leaf
+    (row = unified leaf row), 2 = instance (row = instance id — ops/tlas.py);
+    EMPTY slot = 0 (ucode 0 decodes to "internal row 0" = the root, which is
+    never anyone's child). Keeping the code unsigned-small lets the traversal
+    pack (quantized tn | ucode) into ONE u32 stack entry — near-to-far child
+    ordering, stale-pop draining and the push all ride a single array (see
+    ops/traverse8.py; the twin (entry, tn) stacks cost 2x the one-hot
+    traffic and a 3-operand Batcher sort per step).
 Leaf rows (rows M..U): leaf_size packed triangles [v0, e1, e2] f32; unused
 slots degenerate (all-zero => det == 0 => never hit); cols
 [9*leaf_size + k] carry slot k's ORIGINAL triangle id (i32 bitcast, -1 pad)
@@ -56,7 +61,9 @@ ARITY = 16
 # 638 -> 538 ms, raw primary closest-hit 221 -> 87 ms (scratch/r3_width_frame,
 # exp_r3_width64; PLAN.md rule 16).
 LEAF_SIZE = 6
-EMPTY = np.int32(-(2**31))
+# ucode kinds (entry code = (row << 2) | kind); EMPTY = 0 (see module doc)
+KIND_NODE, KIND_LEAF, KIND_INST = 0, 1, 2
+EMPTY = np.int32(0)
 
 # legacy (round-1) constants, used by the experimental Pallas kernels
 WIDTH = 8
@@ -102,8 +109,10 @@ jax.tree_util.register_dataclass(
                  "num_instances", "inst_base", "blas_base"],
 )
 
-# instance entry code flag (two-level tables): code = INST_BIT | instance_id
-INST_BIT = np.int32(1 << 29)
+def codebits(num_rows: int) -> int:
+    """Static bit width of the ucode field: the traversal packs
+    (tn_mono & ~((1 << codebits) - 1)) | ucode into one u32 stack entry."""
+    return max(int(num_rows - 1).bit_length() + 2, 3)
 
 
 def _bf16_down_bits(x: np.ndarray) -> np.ndarray:
@@ -171,7 +180,7 @@ def pack_region_into(table, leaf_perm, row0, tri_base, boxes, meta, tris,
     s_len = len(order_slots)
 
     entry = np.full((m, arity), EMPTY, dtype=np.int32)
-    entry[counts == 0] = a_vals[counts == 0] + row0
+    entry[counts == 0] = (a_vals[counts == 0] + row0) << 2
     if len(lw):
         offs = a_vals[lw, ls].astype(np.int64)
         cnts = counts[lw, ls].astype(np.int64)
@@ -195,8 +204,10 @@ def pack_region_into(table, leaf_perm, row0, tri_base, boxes, meta, tris,
             gid.view(np.float32)
         )
         leaf_perm[lr0 : lr0 + len(lw)] = gid
-        # leaf entry code addresses the unified row, one's-complement-offset
-        entry[lw, ls] = -(lr0 + np.arange(len(lw), dtype=np.int32)) - 1
+        # leaf entry code addresses the unified row
+        entry[lw, ls] = (
+            (lr0 + np.arange(len(lw), dtype=np.int32)) << 2
+        ) | KIND_LEAF
     pack_boxes_into(table, row0, boxes, entry, arity)
     return m + len(lw), entry
 
@@ -256,16 +267,16 @@ def lifo_stack_bound(entry: np.ndarray, row0: int = 0) -> int:
     every push/pop of ops/traverse8.py, whose stack selects are ~16% of
     frame time at depth 62).
 
-    ``entry`` codes: >= 0 internal child at absolute row (code - row0 is
-    the local node index); < 0 leaf or EMPTY; codes with INST_BIT count as
-    occupying a slot but contribute no subtree here (ops/tlas.py accounts
-    for the BLAS separately).
+    ``entry`` ucodes: (row << 2) | kind — kind 0 internal at absolute row
+    (row - row0 is the local node index), 1 leaf, 2 instance (occupies a
+    slot but contributes no subtree here — ops/tlas.py accounts for the
+    BLAS separately); EMPTY = 0.
     """
     m = entry.shape[0]
     if m == 0:
         return 1
-    internal = (entry >= 0) & ((entry & INST_BIT) == 0)
-    child_local = np.where(internal, entry - row0, 0).astype(np.int64)
+    internal = (entry != EMPTY) & ((entry & 3) == KIND_NODE)
+    child_local = np.where(internal, (entry >> 2) - row0, 0).astype(np.int64)
     valid = internal & (child_local >= 0) & (child_local < m)
     c = (entry != EMPTY).sum(axis=1).astype(np.int64)  # slots pushed
     # BFS levels from the root, then a reverse-level bottom-up pass

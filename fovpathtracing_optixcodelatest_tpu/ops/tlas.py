@@ -10,7 +10,7 @@ ONE unified row table the traversal gathers from (ops/traverse8.py):
 
   rows [0, inst_base)        TLAS node rows (bf16 child boxes of instance
                              WORLD AABBs; child entries are either TLAS rows
-                             or instance codes INST_BIT | instance_id)
+                             or instance ucodes (instance_id << 2) | 2)
   rows [inst_base, blas_base) instance rows: 13 f32 =
                              [bitcast(blas_root_code), A (3x3 row-major),
                               b (3)] where x_object = A @ x_world + b is the
@@ -43,7 +43,8 @@ from fovpathtracing_optixcodelatest_tpu.ops import bvh8 as bvh8_py
 from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import (
     ARITY,
     EMPTY,
-    INST_BIT,
+    KIND_INST,
+    KIND_NODE,
     LEAF_SIZE,
     WideBVH,
     pack_boxes_into,
@@ -147,18 +148,18 @@ def build_instanced(
     t_counts = t_meta[..., 1]
     t_avals = t_meta[..., 0]
     t_entry = np.full((mt, arity), EMPTY, dtype=np.int32)
-    t_entry[t_counts == 0] = t_avals[t_counts == 0]
+    t_entry[t_counts == 0] = (t_avals[t_counts == 0] << 2) | KIND_NODE
     lw, ls = np.nonzero(t_counts > 0)
     inst_ids = t_order[
         np.clip(t_avals[lw, ls].astype(np.int64), 0, max(len(t_order) - 1, 0))
     ].astype(np.int32)
-    t_entry[lw, ls] = INST_BIT | inst_ids
+    t_entry[lw, ls] = (inst_ids << 2) | KIND_INST
     pack_boxes_into(table, 0, t_boxes, t_entry, arity)
 
     # instance rows
     max_blas_sd = 2
     for i, mid in enumerate(mesh_of_instance):
-        root_code = blas_rows[mid][0]
+        root_code = (blas_rows[mid][0] << 2) | KIND_NODE  # BLAS root ucode
         row = np.zeros(width, dtype=np.float32)
         row[0] = np.int32(root_code).view(np.float32)
         row[1:10] = inv_a[i].reshape(9)

@@ -20,10 +20,22 @@ that shape this module (all measured on a v5e — see git history and PLAN.md):
    the gathered (8, L, W) block into W dense (8, L) planes.
 
 One while_loop iteration pops one entry per ray (one-hot sum over the
-(D, 8, L) stack), and either expands an internal node (8 unrolled slab tests
+(D, 8, L) stack), and either expands an internal node (unrolled slab tests
 + push of hit children, near-to-far via a Batcher sorting network) or
 intersects its leaf row (unrolled Möller-Trumbore). Iterations ≈ max
 per-ray pops within a chunk.
+
+4. Stack entries are ONE packed u32 each: (monotone-mapped tn truncated to
+   the high bits) | (ucode in the low ``codebits`` bits). Near-to-far child
+   ordering, the stale-pop drain test and the push therefore run on a
+   single array — the round-2 twin (entry i32, tn f32) stacks paid 2x the
+   one-hot traffic and a 3-operand Batcher swap. tn quantization truncates
+   toward -inf, so ordering is approximate (affects only pop order) while
+   staleness (tn > tlimit) stays conservative — results are bit-identical.
+
+5. Iteration 0 of every chunk is unrolled: the first pop is always the
+   root, so its expand reads a static table[0] slice instead of paying the
+   row gather + transpose + stack one-hots.
 
 ``occluded`` implements the reference's occlusion ray semantics: back-face
 culling + first-hit termination (deviceProgram.cu:224-248).
@@ -37,7 +49,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import EMPTY, INST_BIT, WideBVH
+from fovpathtracing_optixcodelatest_tpu.ops.bvh8 import (
+    KIND_INST,
+    KIND_LEAF,
+    KIND_NODE,
+    WideBVH,
+    codebits,
+)
 
 # Default ray-chunk length: each chunk runs its own while_loop under lax.map,
 # so a chunk of early-finishing rays stops at ITS max pop count instead of the
@@ -52,6 +70,17 @@ DEFAULT_CHUNK = int(os.environ.get("FOVTPU_CHUNK", 1 << 15))
 # Stale-pop drains per iteration (_pop_fresh): 2 measured best on the
 # bench tree shape.
 DEFAULT_DRAINS = int(os.environ.get("FOVTPU_DRAINS", 2))
+
+# Independent lockstep chunks interleaved per while-loop iteration
+# ("streams"). FALSIFIED at K>1 (round 3, measured): bench frame 453 -> 514
+# ms at K=4 / 701 at K=8; deep 1.9M-tri staged 1769 -> 2219 ms at K=4. The
+# scratch/exp_r3_multigather.py result that motivated this ("K independent
+# gathers cost the same as one") was an artifact: its loop body consumed
+# only 2 of 64 gathered columns, so XLA narrowed each gather 32x and K=8
+# fit in one gather's latency. With full-width gathers the TPU executes
+# fusions sequentially — interleaving K chunks only adds sibling-idle
+# lockstep waste. K=1 keeps the (bit-identical) single-chunk behavior.
+DEFAULT_STREAMS = int(os.environ.get("FOVTPU_STREAMS", 1))
 
 # Dynamic chunk trip count (A/B escape hatch): skip trailing all-inactive
 # chunks entirely instead of stepping them through lax.map. Each chunk step
@@ -92,35 +121,35 @@ def _tiles3(x, l):
     return [c.reshape(SUB, l) for c in x.T]
 
 
-def _sort_desc(keys, *val_lists):
-    """Sort keys descending via the Batcher network, permuting every value
-    list along. Returns (keys, *val_lists) sorted."""
+def _sort_desc(keys):
+    """Sort ONE key list descending via the Batcher network: every stack
+    entry is a single packed u32 (quantized tn | ucode), so a comparator is
+    just (max, min) — the 3-where swap of separate (key, entry, tn) operand
+    lists measured ~3x the VPU work."""
     k = list(keys)
-    vs = [list(v) for v in val_lists]
     for i, j in _batcher_net(len(keys)):
-        swap = k[i] < k[j]
-        k[i], k[j] = (
-            jnp.where(swap, k[j], k[i]),
-            jnp.where(swap, k[i], k[j]),
-        )
-        for v in vs:
-            v[i], v[j] = (
-                jnp.where(swap, v[j], v[i]),
-                jnp.where(swap, v[i], v[j]),
-            )
-    return (k, *vs)
+        a, b = k[i], k[j]
+        k[i] = jnp.maximum(a, b)
+        k[j] = jnp.minimum(a, b)
+    return k
 
 
-def _gather_row(table, entry, is_leaf, bvh=None, is_inst=None):
+def _mono_u32(x):
+    """Monotone f32 -> u32 map (a < b <=> mono(a) < mono(b), NaN-free
+    inputs): flip all bits of negatives, set the sign bit of non-negatives.
+    Lets quantized-tn ordering, stale tests and pushes run on ONE u32."""
+    b = lax.bitcast_convert_type(x, jnp.uint32)
+    return jnp.where(x < 0, ~b, b | jnp.uint32(0x80000000))
+
+
+def _gather_row(table, row, bvh=None, is_inst=None):
     """ONE unified row gather per step: node, leaf AND instance rows live in
     the same (U, W) table, so entry type never costs a second gather.
+    ``row`` is the decoded ucode row field (instance ids are rebased).
 
     Returns W planes of (8, L)."""
-    row = jnp.where(is_leaf, -entry - 1, jnp.maximum(entry, 0))  # (8, L)
     if is_inst is not None:
-        row = jnp.where(
-            is_inst, bvh.inst_base + (entry & (INST_BIT - 1)), row
-        )
+        row = jnp.where(is_inst, bvh.inst_base + row, row)
     g = jnp.take(table, row, axis=0)  # (8, L, W)
     gt = jnp.transpose(g, (2, 0, 1))  # (W, 8, L) — the one relayout per step
     return gt
@@ -131,7 +160,7 @@ def _expand(gt, is_node, o_r, inv_r, tmin, tlimit, arity):
 
     Box bounds are conservative bf16 pairs packed two-per-f32 (bvh8.py):
     lo = high 16 bits widened, hi = low 16 bits widened. Child metadata is
-    the pre-encoded traversal entry code (>=0 internal, <0 leaf, EMPTY).
+    the pre-encoded traversal ucode ((row << 2) | kind; 0 = EMPTY slot).
 
     Returns (hits, t_nears, entries): lists of ``arity`` (8, L) arrays.
     """
@@ -148,10 +177,10 @@ def _expand(gt, is_node, o_r, inv_r, tmin, tlimit, arity):
             t1 = (hi - o_r[a]) * inv_r[a]
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        code = lax.bitcast_convert_type(gt[3 * arity + c], jnp.int32)
+        code = lax.bitcast_convert_type(gt[3 * arity + c], jnp.uint32)
         hit = (
             (tn <= tf) & (tf >= tmin) & (tn <= tlimit)
-            & (code != EMPTY) & is_node
+            & (code != 0) & is_node  # ucode 0 = EMPTY slot
         )
         hits.append(hit)
         tns.append(tn)
@@ -207,68 +236,43 @@ def _pop(stack, sp):
     d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None, None]
     has = sp > 0
     spc = jnp.where(has, sp - 1, 0)
-    entry = jnp.sum(jnp.where(d_iota == spc[None], stack, 0), axis=0)
+    entry = jnp.sum(jnp.where(d_iota == spc[None], stack, stack.dtype.type(0)),
+                    axis=0)
     return entry, spc, has
 
 
-def _pop2(stack, tn_stack, sp):
-    """Pop (entry, tn) pairs from the twin stacks in one one-hot pass."""
-    d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None, None]
-    has = sp > 0
-    spc = jnp.where(has, sp - 1, 0)
-    onehot = d_iota == spc[None]
-    entry = jnp.sum(jnp.where(onehot, stack, 0), axis=0)
-    tn = jnp.sum(jnp.where(onehot, tn_stack, 0.0), axis=0)
-    return entry, tn, spc, has
-
-
-def _pop_fresh(stack, tn_stack, sp, tlimit, drains: int):
-    """Pop, skipping up to ``drains`` STALE entries (tn at push > current
-    best t): 46% of closest-hit pops are stale by pop time (measured,
+def _pop_fresh(stack, sp, tlim_key, drains: int):
+    """Pop from the packed (tn | ucode) u32 stack, skipping up to ``drains``
+    STALE entries: 46% of closest-hit pops are stale by pop time (measured,
     box_city), and in lockstep every stale pop costs a full iteration.
-    Draining consumes stale entries at ``drains+1``/iteration so tail rays
-    spend iterations on useful pops only. Returns (entry, sp, fresh).
+
+    ``tlim_key`` = mono(tlimit) | lowmask, so ``packed > tlim_key`` tests
+    exactly tn_trunc > tlimit_trunc, which implies the un-quantized
+    tn > tlimit (truncation rounds toward -inf) — draining and the final
+    freshness cull stay conservative: only provably-stale entries die.
 
     The ``drains+1`` candidate depths (sp-1, sp-2, ...) are all known before
     any stack read, so every candidate's one-hot pick runs in ONE fused pass
-    over the (D, 8, L) stacks — one stack read total, not ``drains+1`` (the
-    stack reduction is the traversal loop's dominant VMEM traffic)."""
+    over the (D, 8, L) stack — one stack read total, not ``drains+1`` (the
+    stack reduction is the traversal loop's dominant VMEM traffic).
+    Returns (packed_entry, sp, fresh)."""
     d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None, None]
-    cands = []  # (entry_j, tn_j, has_j) for candidate depth sp-1-j
+    cands = []  # (entry_j, has_j) for candidate depth sp-1-j
     for j in range(drains + 1):
         onehot = d_iota == (sp - 1 - j)[None]
-        e_j = jnp.sum(jnp.where(onehot, stack, 0), axis=0)
-        tn_j = jnp.sum(jnp.where(onehot, tn_stack, 0.0), axis=0)
-        cands.append((e_j, tn_j, sp > j))
-    entry, tn, has = cands[0]
+        e_j = jnp.sum(jnp.where(onehot, stack, jnp.uint32(0)), axis=0)
+        cands.append((e_j, sp > j))
+    entry, has = cands[0]
     consumed = jnp.ones_like(sp)
     advance = jnp.ones_like(has)  # still draining stale entries
-    for e_j, tn_j, has_j in cands[1:]:
-        advance = advance & has & (tn > tlimit)
+    for e_j, has_j in cands[1:]:
+        advance = advance & has & (entry > tlim_key)
         entry = jnp.where(advance, e_j, entry)
-        tn = jnp.where(advance, tn_j, tn)
         has = jnp.where(advance, has_j, has)
         consumed = consumed + advance.astype(jnp.int32)
     sp = jnp.maximum(sp - consumed, 0)
-    fresh = has & (tn <= tlimit)
-    return entry, tn, sp, fresh
-
-
-def _push2(stack, tn_stack, sp, entries_c, tns_c, cnt):
-    """Twin-stack push of (entry, tn) pairs (see _push)."""
-    d_iota = jnp.arange(stack.shape[0], dtype=jnp.int32)[:, None, None]
-    kk = d_iota - sp[None]  # (D, 8, L)
-    valid = (kk >= 0) & (kk < cnt[None])
-    eac = entries_c[0][None]
-    tac = tns_c[0][None]
-    for j in range(1, len(entries_c)):
-        sel = kk == j
-        eac = jnp.where(sel, entries_c[j][None], eac)
-        tac = jnp.where(sel, tns_c[j][None], tac)
-    stack = jnp.where(valid, eac, stack)
-    tn_stack = jnp.where(valid, tac, tn_stack)
-    sp = jnp.minimum(sp + cnt, stack.shape[0])
-    return stack, tn_stack, sp
+    fresh = has & (entry <= tlim_key)
+    return entry, sp, fresh
 
 
 def _push(stack, sp, entries_c, cnt):
@@ -374,130 +378,204 @@ def _apply_inv_transform(gt, o_r, d_r):
     return op, dp, ip
 
 
-def _closest_loop(bvh, o_r, d_r, inv_r, sp0, t0, tmin, tmax, step_limit,
-                  depth):
-    """The per-chunk closest-hit while_loop on pre-tiled (8, L) inputs.
-    Returns (t, u, v, best, best_inst, overflow, steps).
+def _ch_init(bvh, o_r, inv_r, sp0, t0, tmin, tmax, depth, lowmask, himask):
+    """Per-chunk closest-hit init with iteration 0 UNROLLED: every active
+    lane's first pop is the ROOT (the zeros-initialized stack decodes to
+    ucode 0 = internal row 0), so the root expand reads a STATIC table[0]
+    slice — no row gather, no transpose copy, no stack one-hots. Root is a
+    world-space node row by construction (pack_wide and the TLAS builder
+    both emit a node row 0), so no instance or leaf handling is needed; the
+    push/pop sequence is bit-identical to the general iteration it replaces.
 
-    Two-level (instanced) tables add per-lane space tracking: popping an
-    instance code (INST_BIT set) loads the row's inverse transform, primes
-    the lane's object-space ray, and pushes the BLAS root (one iteration);
-    stack discipline guarantees at most one instance's BLAS rows are live on
-    a lane's stack, so a single ``cur`` register tracks the space. Popping a
-    TLAS node restores world space. Statically compiled out when
-    ``bvh.num_instances == 0``.
-    """
+    Returns the chunk state tuple (stack, sp, t, u, v, best, overflow
+    [+ cur, best_inst, op, dp, ip when instanced])."""
     l = sp0.shape[-1]
-    instanced = bvh.num_instances > 0
+    root_gt = [bvh.table[0, i] for i in range(4 * bvh.arity)]
+    tlim0 = jnp.minimum(t0, tmax)
+    hits0, tns0, codes0 = _expand(
+        root_gt, sp0 > 0, o_r, inv_r, tmin, tlim0, bvh.arity
+    )
+    keys0 = _sort_desc([
+        jnp.where(h, (_mono_u32(tn) & himask) | c, jnp.uint32(0))
+        for h, tn, c in zip(hits0, tns0, codes0)
+    ])
+    cnt0 = hits0[0].astype(jnp.int32)
+    for h in hits0[1:]:
+        cnt0 = cnt0 + h.astype(jnp.int32)
+    d_iota0 = jnp.arange(depth, dtype=jnp.int32)[:, None, None]
+    eac0 = keys0[0][None]
+    for j in range(1, len(keys0)):
+        eac0 = jnp.where(d_iota0 == j, keys0[j][None], eac0)
     state = (
-        jnp.zeros((depth, SUB, l), dtype=jnp.int32),
-        jnp.full((depth, SUB, l), -jnp.inf, jnp.float32),
-        sp0,
+        jnp.where(d_iota0 < cnt0[None], eac0, jnp.uint32(0)),
+        jnp.minimum(cnt0, depth),
         t0,
         jnp.zeros((SUB, l), dtype=jnp.float32),
         jnp.zeros((SUB, l), dtype=jnp.float32),
         jnp.full((SUB, l), -1, dtype=jnp.int32),
-        jnp.zeros((SUB, l), dtype=jnp.int32),  # overflowed
-        jnp.zeros((), dtype=jnp.int32),
+        jnp.zeros((SUB, l), dtype=jnp.int32)
+        + (cnt0 > depth).astype(jnp.int32)
+        * (depth < bvh.stack_depth),  # overflowed
     )
+    return state
+
+
+def _ch_step(bvh, rays_k, st, tmin, tmax, depth, lowmask, himask):
+    """One closest-hit iteration for ONE chunk: pop (stale-draining), gather
+    the popped row, slab-expand / leaf-intersect, near-to-far push.
+
+    Two-level (instanced) tables add per-lane space tracking: popping an
+    instance ucode (kind bits == 2) loads the row's inverse transform,
+    primes the lane's object-space ray, and pushes the BLAS root (one
+    iteration); stack discipline guarantees at most one instance's BLAS
+    rows are live on a lane's stack, so a single ``cur`` register tracks
+    the space. Popping a TLAS node restores world space. Statically
+    compiled out when ``bvh.num_instances == 0``."""
+    o_r, d_r, inv_r = rays_k
+    instanced = bvh.num_instances > 0
+    stack, sp, t, u, v, best, overflow = st[:7]
     if instanced:
-        state = state + (
-            jnp.full((SUB, l), -1, dtype=jnp.int32),  # cur instance
-            jnp.full((SUB, l), -1, dtype=jnp.int32),  # best-hit instance
-            tuple(o_r), tuple(d_r), tuple(inv_r),  # primed (object) ray
+        cur, best_inst, op, dp, ip = st[7:]
+        op, dp, ip = list(op), list(dp), list(ip)
+    tlimit = jnp.minimum(t, tmax)
+    tlim_key = _mono_u32(tlimit) | lowmask
+    packed, sp, fresh = _pop_fresh(
+        stack, sp, tlim_key, drains=DEFAULT_DRAINS
+    )
+    code = packed & lowmask
+    kind = code & 3
+    row = (code >> 2).astype(jnp.int32)
+    is_leaf = fresh & (kind == KIND_LEAF)
+    is_node = fresh & (kind == KIND_NODE)
+    if instanced:
+        is_inst = fresh & (kind == KIND_INST)
+        gt = _gather_row(bvh.table, row, bvh, is_inst)
+        # space transitions: TLAS node -> world; instance pop -> primed
+        node_world = is_node & (row < bvh.blas_base)
+        n_op, n_dp, n_ip = _apply_inv_transform(gt, o_r, d_r)
+        for a in range(3):
+            op[a] = jnp.where(is_inst, n_op[a], op[a])
+            dp[a] = jnp.where(is_inst, n_dp[a], dp[a])
+            ip[a] = jnp.where(is_inst, n_ip[a], ip[a])
+        cur = jnp.where(is_inst, row, jnp.where(node_world, -1, cur))
+        o_use = [jnp.where(node_world, o_r[a], op[a]) for a in range(3)]
+        inv_use = [
+            jnp.where(node_world, inv_r[a], ip[a]) for a in range(3)
+        ]
+        o_leaf, d_leaf = op, dp
+    else:
+        gt = _gather_row(bvh.table, row)
+        o_use, inv_use = o_r, inv_r
+        o_leaf, d_leaf = o_r, d_r
+
+    hits, tns, codes = _expand(
+        gt, is_node, o_use, inv_use, tmin, tlimit, bvh.arity
+    )
+    keys = [
+        jnp.where(h, (_mono_u32(tn) & himask) | c, jnp.uint32(0))
+        for h, tn, c in zip(hits, tns, codes)
+    ]
+    keys_c = _sort_desc(keys)
+    cnt = hits[0].astype(jnp.int32)
+    for h in hits[1:]:
+        cnt = cnt + h.astype(jnp.int32)
+    if instanced:
+        # instance redirect: push the BLAS root with the instance's tn
+        root_code = lax.bitcast_convert_type(gt[0], jnp.uint32)
+        keys_c[0] = jnp.where(
+            is_inst, (packed & himask) | root_code, keys_c[0]
         )
+        cnt = jnp.where(is_inst, 1, cnt)
+    if depth < bvh.stack_depth:
+        overflow = overflow | (sp + cnt > depth).astype(jnp.int32)
+    stack, sp = _push(stack, sp, keys_c, cnt)
+
+    leaf_out = _leaf_hits(
+        gt, is_leaf, o_leaf, d_leaf, tmin, tmax, False, bvh.leaf_size
+    )
+    for k, (hit_k, t_k, u_k, v_k) in enumerate(leaf_out):
+        better = hit_k & (t_k < t)
+        t = jnp.where(better, t_k, t)
+        u = jnp.where(better, u_k, u)
+        v = jnp.where(better, v_k, v)
+        # slot k's ORIGINAL tri id rides in the gathered row (bvh8.py)
+        tid_k = lax.bitcast_convert_type(
+            gt[9 * bvh.leaf_size + k], jnp.int32
+        )
+        best = jnp.where(better, tid_k, best)
+        if instanced:
+            best_inst = jnp.where(better, cur, best_inst)
+    out = (stack, sp, t, u, v, best, overflow)
+    if instanced:
+        out = out + (cur, best_inst, tuple(op), tuple(dp), tuple(ip))
+    return out
+
+
+def _closest_loop(bvh, chunks, tmin, tmax, step_limit, depth):
+    """Closest-hit while_loop over K independent lockstep chunks
+    ("streams") advanced one iteration each per loop step.
+
+    Why streams: the row gather is DEPENDENT-CHAIN LATENCY-bound, not
+    rate-bound — K independent 32k-row gathers in one loop body cost the
+    same wall time as one (measured flat to K=8 on both VMEM- and
+    HBM-resident tables, scratch/exp_r3_multigather.py), so interleaving K
+    chunks overlaps their gathers and the per-iteration cost is shared.
+    Each chunk keeps its own stack/lockstep semantics; per-lane results are
+    bit-identical to running the chunks separately (a finished chunk idles
+    until the slowest sibling exits, changing only the steps stat).
+
+    ``chunks``: list over streams of (o_r, d_r, inv_r, sp0, t0).
+    Returns lists over streams of (t, u, v, best, best_inst, pending), plus
+    the shared iteration count."""
+    instanced = bvh.num_instances > 0
+    # packed-stack constants (static): low ``cb`` bits carry the ucode, the
+    # high bits the monotone-quantized tn — one u32 per stack entry
+    cb = codebits(bvh.num_rows)
+    assert cb <= 26, "table too large for packed tn|ucode stack entries"
+    lowmask = jnp.uint32((1 << cb) - 1)
+    himask = jnp.uint32(0xFFFFFFFF & ~((1 << cb) - 1))
+
+    states = []
+    rays = []
+    for o_r, d_r, inv_r, sp0, t0 in chunks:
+        st = _ch_init(
+            bvh, o_r, inv_r, sp0, t0, tmin, tmax, depth, lowmask, himask
+        )
+        if instanced:
+            st = st + (
+                jnp.full_like(sp0, -1),  # cur instance
+                jnp.full_like(sp0, -1),  # best-hit instance
+                tuple(o_r), tuple(d_r), tuple(inv_r),  # primed (object) ray
+            )
+        states.append(st)
+        rays.append((o_r, d_r, inv_r))
+    # steps starts at 1: the unrolled root expand was iteration 1
+    state = (jnp.ones((), dtype=jnp.int32), tuple(states))
 
     def cond(s):
-        return jnp.any(s[2] > 0) & (s[8] < step_limit)
+        work = s[1][0][1] > 0
+        for st in s[1][1:]:
+            work = work | (st[1] > 0)
+        return jnp.any(work) & (s[0] < step_limit)
 
     def body(s):
-        stack, tn_stack, sp, t, u, v, best, overflow, steps = s[:9]
-        if instanced:
-            cur, best_inst, op, dp, ip = s[9:]
-            op, dp, ip = list(op), list(dp), list(ip)
-        tlimit = jnp.minimum(t, tmax)
-        entry, tn_pop, sp, fresh = _pop_fresh(
-            stack, tn_stack, sp, tlimit, drains=DEFAULT_DRAINS
+        steps, sts = s
+        new = tuple(
+            _ch_step(bvh, rays[k], sts[k], tmin, tmax, depth, lowmask,
+                     himask)
+            for k in range(len(sts))
         )
-        if instanced:
-            is_inst = fresh & (entry >= 0) & ((entry & INST_BIT) != 0)
-            is_node = fresh & (entry >= 0) & ~is_inst
-            is_leaf = fresh & (entry < 0)
-            row_inst = is_inst
-        else:
-            is_node = fresh & (entry >= 0)
-            is_leaf = fresh & (entry < 0)
-            row_inst = None
-        gt = _gather_row(bvh.table, entry, is_leaf, bvh, row_inst)
+        return (steps + 1, new)
 
-        if instanced:
-            # space transitions: TLAS node -> world; instance pop -> primed
-            node_world = is_node & (entry < bvh.blas_base)
-            n_op, n_dp, n_ip = _apply_inv_transform(gt, o_r, d_r)
-            for a in range(3):
-                op[a] = jnp.where(is_inst, n_op[a], op[a])
-                dp[a] = jnp.where(is_inst, n_dp[a], dp[a])
-                ip[a] = jnp.where(is_inst, n_ip[a], ip[a])
-            cur = jnp.where(
-                is_inst, entry & (INST_BIT - 1),
-                jnp.where(node_world, -1, cur),
-            )
-            o_use = [jnp.where(node_world, o_r[a], op[a]) for a in range(3)]
-            inv_use = [
-                jnp.where(node_world, inv_r[a], ip[a]) for a in range(3)
-            ]
-            o_leaf, d_leaf = op, dp
-        else:
-            o_use, inv_use = o_r, inv_r
-            o_leaf, d_leaf = o_r, d_r
+    steps, outs = lax.while_loop(cond, body, state)
+    res = []
+    for st in outs:
+        pending = ((st[1] > 0) | (st[6] > 0)).astype(jnp.int32)
+        # dummy scalar keeps the map output arity fixed when not instanced
+        best_inst = st[8] if instanced else jnp.zeros((), jnp.int32)
+        res.append((st[2], st[3], st[4], st[5], best_inst, pending))
+    return res, steps
 
-        hits, tns, entries = _expand(
-            gt, is_node, o_use, inv_use, tmin, tlimit, bvh.arity
-        )
-        keys = [jnp.where(h, tn, -jnp.inf) for h, tn in zip(hits, tns)]
-        keys_c, entries_c, tns_c = _sort_desc(keys, entries, tns)
-        cnt = hits[0].astype(jnp.int32)
-        for h in hits[1:]:
-            cnt = cnt + h.astype(jnp.int32)
-        if instanced:
-            # instance redirect: push the BLAS root with the instance's tn
-            root_code = lax.bitcast_convert_type(gt[0], jnp.int32)
-            entries_c = list(entries_c)
-            tns_c = list(tns_c)
-            entries_c[0] = jnp.where(is_inst, root_code, entries_c[0])
-            tns_c[0] = jnp.where(is_inst, tn_pop, tns_c[0])
-            cnt = jnp.where(is_inst, 1, cnt)
-        if depth < bvh.stack_depth:
-            overflow = overflow | (sp + cnt > depth).astype(jnp.int32)
-        stack, tn_stack, sp = _push2(
-            stack, tn_stack, sp, entries_c, tns_c, cnt
-        )
-
-        leaf_out = _leaf_hits(
-            gt, is_leaf, o_leaf, d_leaf, tmin, tmax, False, bvh.leaf_size
-        )
-        for k, (hit_k, t_k, u_k, v_k) in enumerate(leaf_out):
-            better = hit_k & (t_k < t)
-            t = jnp.where(better, t_k, t)
-            u = jnp.where(better, u_k, u)
-            v = jnp.where(better, v_k, v)
-            # slot k's ORIGINAL tri id rides in the gathered row (bvh8.py)
-            tid_k = lax.bitcast_convert_type(
-                gt[9 * bvh.leaf_size + k], jnp.int32
-            )
-            best = jnp.where(better, tid_k, best)
-            if instanced:
-                best_inst = jnp.where(better, cur, best_inst)
-        out = (stack, tn_stack, sp, t, u, v, best, overflow, steps + 1)
-        if instanced:
-            out = out + (cur, best_inst, tuple(op), tuple(dp), tuple(ip))
-        return out
-
-    out = lax.while_loop(cond, body, state)
-    pending = ((out[2] > 0) | (out[7] > 0)).astype(jnp.int32)
-    # dummy scalar keeps the lax.map output arity fixed when not instanced
-    best_inst = out[10] if instanced else jnp.zeros((), jnp.int32)
-    return out[3], out[4], out[5], out[6], best_inst, pending, out[8]
 
 
 def closest_hit_staged(
@@ -632,6 +710,8 @@ def closest_hit(
     else:
         step_limit = jnp.minimum(jnp.int32(max_steps), iter_cap)
 
+    kk = max(1, min(DEFAULT_STREAMS, c))
+    cpad = (-c) % kk
     xs = (
         jnp.stack(o_r, axis=1),  # (C, 3, 8, L)
         jnp.stack(d_r, axis=1),
@@ -639,33 +719,50 @@ def closest_hit(
         sp0,
         t0,
     )
+    if cpad:  # pad to a stream multiple with inactive chunks (sp0 = 0)
+        xs = tuple(
+            jnp.concatenate(
+                [x, jnp.zeros((cpad,) + x.shape[1:], x.dtype)], axis=0
+            )
+            for x in xs
+        )
+    c2 = (c + cpad) // kk
+    xs = tuple(x.reshape((c2, kk) + x.shape[1:]) for x in xs)
+    instanced = bvh.num_instances > 0
 
     def step(args):
         o_i, d_i, inv_i, sp_i, t_i = args
-        return _closest_loop(
-            bvh, [o_i[a] for a in range(3)], [d_i[a] for a in range(3)],
-            [inv_i[a] for a in range(3)], sp_i, t_i,
+        res, steps = _closest_loop(
+            bvh,
+            [
+                ([o_i[k, a] for a in range(3)],
+                 [d_i[k, a] for a in range(3)],
+                 [inv_i[k, a] for a in range(3)], sp_i[k], t_i[k])
+                for k in range(kk)
+            ],
             tmin, tmax, step_limit, depth,
         )
+        stk = lambda j: jnp.stack([r[j] for r in res], axis=0)  # noqa: E731
+        inst_out = stk(4) if instanced else jnp.zeros((), jnp.int32)
+        return stk(0), stk(1), stk(2), stk(3), inst_out, stk(5), steps
 
-    if c == 1:
+    if c2 == 1:
         outs = step(tuple(x[0] for x in xs))
         t, u, v, best, inst, pending, steps = outs
         steps_total = steps
     elif DYN_TRIP:
-        instanced = bvh.num_instances > 0
-        zf = jnp.zeros((c, SUB, l), jnp.float32)
-        zi = jnp.zeros((c, SUB, l), jnp.int32)
+        zf = jnp.zeros((c2, kk, SUB, l), jnp.float32)
+        zi = jnp.zeros((c2, kk, SUB, l), jnp.int32)
         init = (
             zf, zf, zf,                      # t, u, v (dead lanes: masked)
-            jnp.full((c, SUB, l), -1, jnp.int32),  # best: miss
-            jnp.full((c, SUB, l), -1, jnp.int32) if instanced
-            else jnp.zeros((c,), jnp.int32),       # inst (dummy scalar o.w.)
+            jnp.full((c2, kk, SUB, l), -1, jnp.int32),  # best: miss
+            jnp.full((c2, kk, SUB, l), -1, jnp.int32) if instanced
+            else jnp.zeros((c2,), jnp.int32),  # inst (dummy scalar o.w.)
             zi,                              # pending: no work left
-            jnp.zeros((c,), jnp.int32),      # steps
+            jnp.zeros((c2,), jnp.int32),     # steps
         )
         t, u, v, best, inst, pending, steps = _chunk_map(
-            step, xs, init, _dyn_trip_count(sp0)
+            step, xs, init, _dyn_trip_count(xs[3].reshape(c2, -1, l))
         )
         steps_total = jnp.sum(steps)
     else:
@@ -737,32 +834,67 @@ def occluded(
 
     instanced = bvh.num_instances > 0
 
-    def loop(o_t, d_t, inv_t, sp_init):
-        state = (
-            jnp.zeros((depth, SUB, l), dtype=jnp.int32),
-            sp_init,
-            jnp.zeros((SUB, l), dtype=bool),  # occ
-            jnp.zeros((), dtype=jnp.int32),
-            jnp.zeros((SUB, l), dtype=jnp.int32),  # overflowed
-        )
-        if instanced:
-            state = state + (tuple(o_t), tuple(d_t), tuple(inv_t))
+    def loop(chunks):
+        # chunks: list over streams of (o_t, d_t, inv_t, sp_init); same
+        # stream interleaving as _closest_loop (independent gathers overlap)
+        root_gt = [bvh.table[0, i] for i in range(4 * bvh.arity)]
+        rays = [(o, d, iv) for o, d, iv, _ in chunks]
+
+        def init_one(o_t, inv_t, sp_init):
+            # iteration 0 unrolled: root expand from a static table[0]
+            # slice (see _ch_init — same trick, no tn packing needed here)
+            tlim0 = jnp.full((SUB, l), tmax, dtype=jnp.float32)
+            hits0, _tns0, codes0 = _expand(
+                root_gt, sp_init > 0, o_t, inv_t, tmin, tlim0, bvh.arity
+            )
+            keys0 = _sort_desc([
+                jnp.where(h, c, jnp.uint32(0))
+                for h, c in zip(hits0, codes0)
+            ])
+            cnt0 = hits0[0].astype(jnp.int32)
+            for h in hits0[1:]:
+                cnt0 = cnt0 + h.astype(jnp.int32)
+            d_iota0 = jnp.arange(depth, dtype=jnp.int32)[:, None, None]
+            eac0 = keys0[0][None]
+            for j in range(1, len(keys0)):
+                eac0 = jnp.where(d_iota0 == j, keys0[j][None], eac0)
+            return (
+                jnp.where(d_iota0 < cnt0[None], eac0, jnp.uint32(0)),
+                jnp.minimum(cnt0, depth),
+                jnp.zeros((SUB, l), dtype=bool),  # occ
+                (cnt0 > depth).astype(jnp.int32)
+                * (depth < bvh.stack_depth),  # overflowed
+            )
+
+        states = []
+        for o_t, d_t, inv_t, sp_init in chunks:
+            st = init_one(o_t, inv_t, sp_init)
+            if instanced:
+                st = st + (tuple(o_t), tuple(d_t), tuple(inv_t))
+            states.append(st)
+        state = (jnp.ones((), dtype=jnp.int32), tuple(states))
 
         def cond(s):
-            return jnp.any(s[1] > 0) & (s[3] < step_limit)
+            work = s[1][0][1] > 0
+            for st in s[1][1:]:
+                work = work | (st[1] > 0)
+            return jnp.any(work) & (s[0] < step_limit)
 
-        def body(s):
-            stack, sp, occ, steps, overflow = s[:5]
+        def step_one(rays_k, s5):
+            o_t, d_t, inv_t = rays_k
+            stack, sp, occ, overflow = s5[:4]
             if instanced:
-                op, dp, ip = (list(x) for x in s[5:])
+                op, dp, ip = (list(x) for x in s5[4:])
             sp = jnp.where(occ, 0, sp)  # occluded rays drop remaining work
             entry, sp, has = _pop(stack, sp)
+            kind = entry & 3
+            row = (entry >> 2).astype(jnp.int32)
+            is_node = has & (kind == KIND_NODE)
+            is_leaf = has & (kind == KIND_LEAF)
             if instanced:
-                is_inst = has & (entry >= 0) & ((entry & INST_BIT) != 0)
-                is_node = has & (entry >= 0) & ~is_inst
-                is_leaf = has & (entry < 0)
-                gt = _gather_row(bvh.table, entry, is_leaf, bvh, is_inst)
-                node_world = is_node & (entry < bvh.blas_base)
+                is_inst = has & (kind == KIND_INST)
+                gt = _gather_row(bvh.table, row, bvh, is_inst)
+                node_world = is_node & (row < bvh.blas_base)
                 n_op, n_dp, n_ip = _apply_inv_transform(gt, o_t, d_t)
                 for a in range(3):
                     op[a] = jnp.where(is_inst, n_op[a], op[a])
@@ -776,24 +908,24 @@ def occluded(
                 ]
                 o_leaf, d_leaf = op, dp
             else:
-                is_node = has & (entry >= 0)
-                is_leaf = has & (entry < 0)
-                gt = _gather_row(bvh.table, entry, is_leaf)
+                gt = _gather_row(bvh.table, row)
                 o_use, inv_use = o_t, inv_t
                 o_leaf, d_leaf = o_t, d_t
 
             tlim = jnp.full_like(sp, tmax, dtype=jnp.float32)
-            hits, _tns, entries = _expand(
+            hits, _tns, codes = _expand(
                 gt, is_node, o_use, inv_use, tmin, tlim, bvh.arity
             )
-            keys = [h.astype(jnp.float32) for h in hits]  # hits first
-            _, entries_c = _sort_desc(keys, entries)
+            # any real ucode > 0, so hit codes sort ahead of empties on
+            # their own — the occlusion push needs no ordering beyond that
+            entries_c = _sort_desc(
+                [jnp.where(h, c, jnp.uint32(0)) for h, c in zip(hits, codes)]
+            )
             cnt = hits[0].astype(jnp.int32)
             for h in hits[1:]:
                 cnt = cnt + h.astype(jnp.int32)
             if instanced:
-                root_code = lax.bitcast_convert_type(gt[0], jnp.int32)
-                entries_c = list(entries_c)
+                root_code = lax.bitcast_convert_type(gt[0], jnp.uint32)
                 entries_c[0] = jnp.where(is_inst, root_code, entries_c[0])
                 cnt = jnp.where(is_inst, 1, cnt)
             if depth < bvh.stack_depth:
@@ -806,36 +938,66 @@ def occluded(
             )
             for hit_k, _t, _u, _v in leaf_out:
                 occ = occ | hit_k
-            out = (stack, sp, occ, steps + 1, overflow)
+            out = (stack, sp, occ, overflow)
             if instanced:
                 out = out + (tuple(op), tuple(dp), tuple(ip))
             return out
 
-        out = lax.while_loop(cond, body, state)
-        occ_i = out[2].astype(jnp.int32)
-        # pending: NOT occluded but work remained (overflow or iter cap)
-        pend_i = (~out[2] & ((out[1] > 0) | (out[4] > 0))).astype(jnp.int32)
-        return occ_i, pend_i
+        def body(s):
+            steps, sts = s
+            new = tuple(
+                step_one(rays[k], sts[k]) for k in range(len(sts))
+            )
+            return (steps + 1, new)
 
+        _steps, outs = lax.while_loop(cond, body, state)
+        res = []
+        for st in outs:
+            occ_i = st[2].astype(jnp.int32)
+            # pending: NOT occluded but work remained (overflow or iter cap)
+            pend_i = (
+                ~st[2] & ((st[1] > 0) | (st[3] > 0))
+            ).astype(jnp.int32)
+            res.append((occ_i, pend_i))
+        return res
+
+    kk = max(1, min(DEFAULT_STREAMS, c))
+    cpad = (-c) % kk
     xs = (
         jnp.stack(o_r, axis=1),
         jnp.stack(d_r, axis=1),
         jnp.stack(inv_r, axis=1),
         sp0,
     )
+    if cpad:  # pad to a stream multiple with inactive chunks (sp0 = 0)
+        xs = tuple(
+            jnp.concatenate(
+                [x, jnp.zeros((cpad,) + x.shape[1:], x.dtype)], axis=0
+            )
+            for x in xs
+        )
+    c2 = (c + cpad) // kk
+    xs = tuple(x.reshape((c2, kk) + x.shape[1:]) for x in xs)
 
     def step(args):
         o_i, d_i, inv_i, sp_i = args
-        return loop(
-            [o_i[a] for a in range(3)], [d_i[a] for a in range(3)],
-            [inv_i[a] for a in range(3)], sp_i,
+        res = loop([
+            ([o_i[k, a] for a in range(3)], [d_i[k, a] for a in range(3)],
+             [inv_i[k, a] for a in range(3)], sp_i[k])
+            for k in range(kk)
+        ])
+        return (
+            jnp.stack([r[0] for r in res], axis=0),
+            jnp.stack([r[1] for r in res], axis=0),
         )
 
-    if c == 1:
+    if c2 == 1:
         occ, pend = step(tuple(x[0] for x in xs))
     elif DYN_TRIP:
-        zi = jnp.zeros((c, SUB, l), jnp.int32)
-        occ, pend = _chunk_map(step, xs, (zi, zi), _dyn_trip_count(sp0))
+        zi = jnp.zeros((c2, kk, SUB, l), jnp.int32)
+        occ, pend = _chunk_map(
+            step, xs, (zi, zi), _dyn_trip_count(xs[3].reshape(c2, -1, l))
+        )
     else:
         occ, pend = jax.lax.map(step, xs)
     occ_out = occ.reshape(-1)[:n0] > 0

@@ -109,19 +109,28 @@ _DEAD = jnp.int32(1 << 30)
 
 
 def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
-    """Closest-hit with alive-first packing local to the query: one 8-operand
-    sort in, one 6-operand index-keyed sort out. The carry never moves.
+    """Closest-hit with alive-first packing local to the query. The carry
+    never moves, and (single-level scenes) neither do t/u/v: sort cost is
+    ~0.84 ms/operand at frame scale, so the winning TRIANGLE ID is the only
+    per-hit payload the sorts carry — shading re-intersects that triangle
+    (one width-flat tri_pack row gather it does anyway) and reproduces
+    t/u/v bit-exactly. Instanced scenes keep the full payload (re-deriving
+    t/u/v would need the object-space ray).
 
     When two-phase staging applies, its straggler sort is FUSED with the
-    compaction sorts: alive-sort → phase-1 → pend-sort (carrying phase-1's
-    results) → phase-2 → ONE unsort straight to original order — 3 sorts
+    compaction sorts: alive-sort -> phase-1 -> pend-sort (carrying phase-1's
+    results) -> phase-2 -> ONE unsort straight to original order — 3 sorts
     per closest-hit instead of the 4 that wrapping closest_hit_staged costs.
 
     ``iter_cap`` overrides the phase-1 iteration budget (may be a traced
     scalar — per-bounce caps under the scanned bounce body).
+
+    Returns {tri_id, hit, steps} (+ t/u/v/inst on instanced scenes —
+    ``_hit_keys(scene)`` is the pytree-stable key set).
     """
     n = o.shape[0]
-    inst_keys = ("inst",) if scene.bvh.instanced else ()
+    slim = not scene.bvh.instanced
+    keys = _hit_keys(scene)
     if config.traversal == "oracle":
         assert not scene.bvh.instanced, (
             "oracle traversal needs flattened geometry"
@@ -130,8 +139,9 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
             scene.geom, o, d, config.tmin, config.tmax
         )
         out["hit"] = out["hit"] & alive
+        out["tri_id"] = jnp.where(out["hit"], out["tri_id"], -1)
         out["steps"] = jnp.zeros((), jnp.int32)
-        return out
+        return {k: out[k] for k in keys}
     # two-phase staging pays only when lockstep tails are deep; tiny BVHs
     # (shallow uniform pops) just pay its sorts — gate on the STATIC table
     # size (measured: +51% on a 733-row scene, -13% on a 190-row one)
@@ -147,13 +157,9 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
             out = traverse8.closest_hit(
                 scene.bvh, o, d, config.tmin, config.tmax, active=alive
             )
-        # normalize the key set: the staged/unstaged raw dicts carry
-        # 'pending', the compacted/oracle branches don't — a mixed key set
-        # breaks pytree-shape-stable callers (the catcher fori_loop carry)
-        return {
-            k: out[k]
-            for k in ("t", "u", "v", "tri_id", "hit", "steps") + inst_keys
-        }
+        out["tri_id"] = jnp.where(out["hit"] & alive, out["tri_id"], -1)
+        out["hit"] = out["tri_id"] >= 0
+        return {k: out[k] for k in keys}
     # composite i32 key: dead<<30 | original index — unique, so the sort is
     # stable by construction AND no pred (bool) operand enters lax.sort
     # (bool operands lower to (4,1)-packed pred staging copies, measured
@@ -173,17 +179,13 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
         )
         tri_or_miss = jnp.where(hit["hit"], hit["tri_id"], -1)
         u = lax.sort(
-            [s[0] & (_DEAD - 1), hit["t"], hit["u"], hit["v"], tri_or_miss]
-            + ([hit["inst"]] if inst_keys else []),
+            [s[0] & (_DEAD - 1), tri_or_miss]
+            + ([] if slim else [hit["t"], hit["u"], hit["v"], hit["inst"]]),
             num_keys=1,
         )
-        out = {
-            "t": u[1], "u": u[2], "v": u[3],
-            "tri_id": u[4], "hit": u[4] >= 0,
-            "steps": hit["steps"],
-        }
-        if inst_keys:
-            out["inst"] = u[5]
+        out = {"tri_id": u[1], "hit": u[1] >= 0, "steps": hit["steps"]}
+        if not slim:
+            out.update(t=u[2], u=u[3], v=u[4], inst=u[5])
         return out
     # fused staged path (see closest_hit_staged for the two-phase rationale)
     p1 = traverse8.closest_hit(
@@ -201,12 +203,11 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     # results unsort straight to original ray order — no intermediate unsort.
     # (Packing leftover-stack work bits into the key to make p2 chunks
     # pop-homogeneous was measured a wash: 522 vs 515 ms — p2 re-traces
-    # from the ROOT, so leftover sp is a poor proxy for remaining work.)
+    # from the ROOT, so leftover sp is a poor proxy for its work.)
     ikey2 = jnp.where(pend, 0, _DEAD) | (s[0] & (_DEAD - 1))
     s2 = lax.sort(
-        [ikey2, s[1], s[2], s[3], s[4], s[5], s[6],
-         p1["t"], p1["u"], p1["v"], tri1]
-        + ([p1["inst"]] if inst_keys else []),
+        [ikey2, s[1], s[2], s[3], s[4], s[5], s[6], p1["t"], tri1]
+        + ([] if slim else [p1["u"], p1["v"], p1["inst"]]),
         num_keys=1,
     )
     p2 = traverse8.closest_hit(
@@ -218,22 +219,46 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
         t_seed=s2[7] * (1.0 + 1e-6),
     )
     closer = (s2[0] < _DEAD) & p2["hit"]
-    t = jnp.where(closer, p2["t"], s2[7])
-    uu = jnp.where(closer, p2["u"], s2[8])
-    vv = jnp.where(closer, p2["v"], s2[9])
-    tri = jnp.where(closer, p2["tri_id"], s2[10])
-    fin_ops = [s2[0] & (_DEAD - 1), t, uu, vv, tri]
-    if inst_keys:
-        fin_ops.append(jnp.where(closer, p2["inst"], s2[11]))
+    tri = jnp.where(closer, p2["tri_id"], s2[8])
+    fin_ops = [s2[0] & (_DEAD - 1), tri]
+    if not slim:
+        fin_ops += [
+            jnp.where(closer, p2["t"], s2[7]),
+            jnp.where(closer, p2["u"], s2[9]),
+            jnp.where(closer, p2["v"], s2[10]),
+            jnp.where(closer, p2["inst"], s2[11]),
+        ]
     fin = lax.sort(fin_ops, num_keys=1)
     out = {
-        "t": fin[1], "u": fin[2], "v": fin[3],
-        "tri_id": fin[4], "hit": fin[4] >= 0,
+        "tri_id": fin[1], "hit": fin[1] >= 0,
         "steps": p1["steps"] + p2["steps"],
     }
-    if inst_keys:
-        out["inst"] = fin[5]
+    if not slim:
+        out.update(t=fin[2], u=fin[3], v=fin[4], inst=fin[5])
     return out
+
+
+def _hit_keys(scene):
+    """Pytree-stable key set of _closest_compacted's result dict."""
+    if scene.bvh.instanced:
+        return ("tri_id", "hit", "steps", "t", "u", "v", "inst")
+    return ("tri_id", "hit", "steps")
+
+
+def _hit_tuv(scene, o, d, attr, hit, config):
+    """t/u/v of the winning hit. Single-level scenes re-intersect the winning
+    triangle from the tri_pack row already in hand (cols 36:45 = v0/e1/e2 —
+    the same np.float32 values the BVH leaf rows pack, through the same
+    Möller-Trumbore expression, so the bits match the traversal's exactly);
+    instanced scenes carried t/u/v through the sorts (the object-space ray is
+    not in hand here). Miss lanes are garbage — callers mask on hit."""
+    if scene.bvh.instanced:
+        return hit["t"], hit["u"], hit["v"]
+    t, u, v, _ = intersect.ray_triangle(
+        o, d, attr[:, 36:39], attr[:, 39:42], attr[:, 42:45],
+        config.tmin, config.tmax,
+    )
+    return t, u, v
 
 
 def _occluded_compacted(scene, p, wi, query, config):
@@ -386,14 +411,22 @@ def trace_paths(
             def _pt_round(_, st):
                 o_eff, h, extra = st
                 thru = _is_pass(o_eff, h)
-                p_hit = o_eff + h["t"][:, None] * d
+                if scene.bvh.instanced:
+                    t_h = h["t"]
+                else:
+                    # slim hit dicts carry no t — re-derive it from the
+                    # winning triangle (see _hit_tuv)
+                    a_h = jnp.take(
+                        scene.geom.tri_pack, jnp.maximum(h["tri_id"], 0),
+                        axis=0,
+                    )
+                    t_h, _, _ = _hit_tuv(scene, o_eff, d, a_h, h, config)
+                p_hit = o_eff + t_h[:, None] * d
                 o2 = jnp.where(thru[:, None], p_hit, o_eff)
                 h2 = _closest_compacted(scene, o2, d, thru, config)
-                merge_keys = ("t", "u", "v", "tri_id", "hit")
-                if scene.bvh.instanced:
-                    merge_keys = merge_keys + ("inst",)
                 merged = {
-                    k: jnp.where(thru, h2[k], h[k]) for k in merge_keys
+                    k: jnp.where(thru, h2[k], h[k])
+                    for k in _hit_keys(scene) if k != "steps"
                 }
                 merged["steps"] = h["steps"] + h2["steps"]
                 return o2, merged, extra + jnp.sum(thru.astype(jnp.int32))
@@ -408,11 +441,13 @@ def trace_paths(
         hit_mask = alive & hit["hit"]
         tri = jnp.maximum(hit["tri_id"], 0)
 
-        p = o + hit["t"][:, None] * d
-        p = jnp.where(hit_mask[:, None], p, o)  # keep dead lanes finite
         # ONE packed attribute gather per hit (normals/uvs/ids — see
         # SceneGeometry.tri_pack; separate per-field gathers profiled hot)
-        attr = jnp.take(scene.geom.tri_pack, tri, axis=0)  # (N, 36)
+        attr = jnp.take(scene.geom.tri_pack, tri, axis=0)  # (N, 48)
+        hit_t, hit_u, hit_v = _hit_tuv(scene, o, d, attr, hit, config)
+
+        p = o + hit_t[:, None] * d
+        p = jnp.where(hit_mask[:, None], p, o)  # keep dead lanes finite
         ng = attr[:, 0:3]
         if scene.bvh.instanced:
             # two-level hit: geometry (and its normals) is OBJECT-space —
@@ -446,8 +481,8 @@ def trace_paths(
         is_catcher = (m.flags & MATERIAL_FLAG_SHADOW_CATCHER) != 0
 
         # albedo: material color, texture-modulated when present (cu:655-670)
-        bu = hit["u"][:, None]
-        bv = hit["v"][:, None]
+        bu = hit_u[:, None]
+        bv = hit_v[:, None]
         uv = (
             (1.0 - bu - bv) * attr[:, 3:5]
             + bu * attr[:, 5:7]

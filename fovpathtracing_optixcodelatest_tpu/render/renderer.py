@@ -163,7 +163,10 @@ def frame_wavefront(
             path_key, config, ray_ids=s[7][:budget],
         )
         tail = jnp.zeros((n_total - budget, 3), jnp.float32)
-        fields = ("radiance", "alpha", "normal", "albedo")
+        # AOVs ride the unsort only when a consumer exists (config.need_aov)
+        fields = ("radiance", "alpha") + (
+            ("normal", "albedo") if config.need_aov else ()
+        )
         ops = [s[0] & ((1 << 30) - 1)]
         for f in fields:
             full = jnp.concatenate([out_sub[f], tail], axis=0)
@@ -174,6 +177,9 @@ def frame_wavefront(
             out["demand_requests"] = out_sub["demand_requests"]
         for j, f in enumerate(fields):
             out[f] = jnp.stack(u[1 + 3 * j : 4 + 3 * j], axis=1)
+        for f in ("normal", "albedo"):
+            if f not in out:
+                out[f] = jnp.zeros((n_total, 3), jnp.float32)
     else:
         out = trace_paths(
             scene, merged["origin"], merged["direction"], merged["active"],
@@ -256,6 +262,7 @@ def render_frame_aov(
     deviceProgram.cu:611-614)."""
     import dataclasses as _dc
 
+    config = _dc.replace(config, need_aov=True)
     w, h = config.width, config.height
     pad = film.schedule_padding(schedule, w, h)
     normal_canvas = film.new_canvas(w, h, pad)

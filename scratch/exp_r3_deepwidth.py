@@ -48,7 +48,7 @@ def run(tag, bvh, fn, reps=2):
           f"{M/dt/1e6:.2f} Mrays/s", file=sys.stderr)
 
 
-for leaf, arity in ((14, 16), (6, 16), (4, 16), (10, 16), (14, 32), (28, 32)):
+for leaf, arity in ((6, 16), (12, 32), (6, 32), (12, 16), (3, 8)):
     t0 = time.perf_counter()
     bvh = bvh_native.build(tris, leaf_size=leaf, arity=arity)
     print(f"L{leaf}/A{arity}: rows={bvh.num_rows} width={bvh.table.shape[1]} "

@@ -71,6 +71,36 @@ for W in (140, 64):
         return acc[0, 0]
     timeit(f"W{W} sorted  ", run_sorted, idx_r)
 
+    # sorted + declared: indices_are_sorted=True lets XLA pick a sorted-path
+    # gather emitter if one exists
+    def run_sorted_decl(idx, table=table, perm=perm_r):
+        def b(i, s):
+            acc, ii = s
+            ii_s = jnp.sort(ii.reshape(-1)).reshape(SUB, L)
+            g = table.at[ii_s].get(indices_are_sorted=True)
+            gt = jnp.transpose(g, (2, 0, 1))
+            nxt = jnp.take(perm, ii, axis=0)
+            return (acc + gt[0] + gt[-1], nxt)
+        acc, _ = lax.fori_loop(0, ITERS, b,
+                               (jnp.zeros((SUB, L), jnp.float32), idx))
+        return acc[0, 0]
+    timeit(f"W{W} sortdecl", run_sorted_decl, idx_r)
+
+    # bf16 table: same row count, half the bytes (is the HBM gather at all
+    # bytes-bound?)
+    tb16 = table.astype(jnp.bfloat16)
+    def run_b16(idx, table=tb16, perm=perm_r):
+        def b(i, s):
+            acc, ii = s
+            g = jnp.take(table, ii, axis=0)
+            gt = jnp.transpose(g, (2, 0, 1)).astype(jnp.float32)
+            nxt = jnp.take(perm, ii, axis=0)
+            return (acc + gt[0] + gt[-1], nxt)
+        acc, _ = lax.fori_loop(0, ITERS, b,
+                               (jnp.zeros((SUB, L), jnp.float32), idx))
+        return acc[0, 0]
+    timeit(f"W{W} bf16    ", run_b16, idx_r)
+
     # clustered: indices drawn from an 8k-row window that drifts per iter
     base = rng.integers(0, U - 8192)
     idx_c = jnp.asarray(

@@ -16,7 +16,8 @@ from fovpathtracing_optixcodelatest_tpu.render.renderer import render_frame
 width, height = 960, 540
 meshes, cam = scenes.box_city(n=24, seed=0)
 scene = build_scene(meshes, probe=gradient_sky_probe())
-config = RenderConfig(width=width, height=height, compact_bounces=True)
+config = RenderConfig(width=width, height=height, compact_bounces=True,
+                      traversal_phase1_cap=int(os.environ.get("FOVTPU_CAP", 14)))
 schedule = FoveationSchedule.reference_32_16_8()
 camp = dataclasses.replace(cam, aspect=width / height).device_params()
 pad = film.schedule_padding(schedule, width, height)
