@@ -176,6 +176,10 @@ class SceneGeometry:
     # row gathers are width-flat on TPU, sort cost is per-operand). Keep in
     # sync with integrator.trace_paths slices.
     tri_pack: jnp.ndarray  # (T, 48) f32
+    # static: any triangle references an atlas texture (tri_texture >= 0) —
+    # lets the integrator compile out the texel-gather stage entirely for
+    # untextured scenes (and take the fused-shading kernel path)
+    has_textures: bool = True
 
     @property
     def num_triangles(self) -> int:
@@ -194,8 +198,12 @@ class SceneGeometry:
 
 jax.tree_util.register_dataclass(
     SceneGeometry,
-    data_fields=[f.name for f in dataclasses.fields(SceneGeometry)],
-    meta_fields=[],
+    data_fields=[
+        f.name
+        for f in dataclasses.fields(SceneGeometry)
+        if f.name != "has_textures"
+    ],
+    meta_fields=["has_textures"],
 )
 
 
@@ -292,7 +300,7 @@ def flatten_meshes(meshes: Sequence[HostMesh]) -> tuple[SceneGeometry, MaterialT
         tri_texture=tex_all,
         has_shading_normals=np.concatenate(has_ns),
         tri_pack=tri_pack,
-    )))
+    )), has_textures=bool((tex_all >= 0).any()))
     table = MaterialTable.from_materials(materials)
     return geom, table
 

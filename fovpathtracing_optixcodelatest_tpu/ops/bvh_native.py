@@ -63,10 +63,27 @@ def collapse_native(tris: np.ndarray, leaf_size: int, arity: int):
     return boxes, meta, perm.astype(np.int64)
 
 
-def build(tris: np.ndarray, leaf_size: int = LEAF_SIZE, arity: int = ARITY,
+# Scene-size-dependent packing default. Measured (PLAN.md rules 21/31):
+# VMEM-resident tables want NARROW rows (L6/A16 = 64 cols: frame 642->540 ms
+# at the bench scene — the gather costs ~0.8 us/col), while HBM-resident
+# tables are per-INDEX-rate, so FEWER POPS win (L12/A32 = 128 cols: 0.59 ->
+# 0.69 Mrays/s at 1.9M tris). The threshold is the measured crossover scale.
+DEEP_LEAF_SIZE = 12
+DEEP_ARITY = 32
+DEEP_TRIS_THRESHOLD = 1_000_000
+
+
+def build(tris: np.ndarray, leaf_size: int | None = None,
+          arity: int | None = None,
           force_python: bool = False) -> WideBVH:
     """Build a packed WideBVH from (T, 3, 3) float32 corners
-    (native collapse if available)."""
+    (native collapse if available). ``leaf_size``/``arity`` default by
+    scene size (see DEEP_TRIS_THRESHOLD)."""
+    deep = tris.shape[0] >= DEEP_TRIS_THRESHOLD
+    if leaf_size is None:
+        leaf_size = DEEP_LEAF_SIZE if deep else LEAF_SIZE
+    if arity is None:
+        arity = DEEP_ARITY if deep else ARITY
     out = None if force_python else collapse_native(tris, leaf_size, arity)
     if out is None:
         return bvh8_py.build(tris, leaf_size, arity)

@@ -45,8 +45,10 @@ def _key_seeds(key: jnp.ndarray):
     return flat[-2], flat[-1]
 
 
-def ray_uniforms(key: jnp.ndarray, ray_ids: jnp.ndarray, num: int) -> jnp.ndarray:
-    """(N,) int32 global ray ids → (N, num) uniforms in [0, 1)."""
+def ray_uniform_cols(key: jnp.ndarray, ray_ids: jnp.ndarray, num: int):
+    """(N,) int32 global ray ids → list of num (N,) uniform planes in [0, 1)
+    (the column form ``ray_uniforms`` stacks — plane-wise consumers skip the
+    stack/re-slice relayout)."""
     s0, s1 = _key_seeds(key)
     base = _mix(ray_ids.astype(jnp.uint32) ^ s0)
     base = _mix(base ^ s1)
@@ -56,4 +58,9 @@ def ray_uniforms(key: jnp.ndarray, ray_ids: jnp.ndarray, num: int) -> jnp.ndarra
         h = _mix(base + stream)
         # top 24 bits → [0, 1) float (keeps all mantissa bits exact)
         cols.append((h >> np.uint32(8)).astype(jnp.float32) * _INV24)
-    return jnp.stack(cols, axis=-1)
+    return cols
+
+
+def ray_uniforms(key: jnp.ndarray, ray_ids: jnp.ndarray, num: int) -> jnp.ndarray:
+    """(N,) int32 global ray ids → (N, num) uniforms in [0, 1)."""
+    return jnp.stack(ray_uniform_cols(key, ray_ids, num), axis=-1)

@@ -503,9 +503,14 @@ def trace_paths(
             new_req = carry["demand_req"].at[d_page].max(
                 (want & ~d_res).astype(jnp.uint8)
             )
-        else:
+            albedo = jnp.where((tex_id >= 0)[:, None], tex_col, m.color)
+        elif scene.geom.has_textures:
             tex_col = sample_bilinear_wrap(scene.textures, tex_id, uv)
-        albedo = jnp.where((tex_id >= 0)[:, None], tex_col, m.color)
+            albedo = jnp.where((tex_id >= 0)[:, None], tex_col, m.color)
+        else:
+            # untextured scene (static SceneGeometry.has_textures): compile
+            # out the 4 bilinear texel gathers per bounce entirely
+            albedo = m.color
 
         # medium interface (cu:673-683); spectral mode disperses the IOR
         # along the hero wavelength (Cauchy eta(lambda), render/spectral.py)
