@@ -38,6 +38,9 @@ def parse_args(argv=None):
                    help="lat-long HDR/PFM/PNG environment probe (ENV_LIGHT_ON)")
     p.add_argument("--ambient", type=float, default=2.5,
                    help="solid ambient probe radiance (AMBIENT_LIGHT, 5*0.5)")
+    p.add_argument("--probe-prefilter", action="store_true",
+                   help="3x3 Gaussian-prefiltered env CDF "
+                        "(OptixUtils Texture.cpp variant)")
     p.add_argument("--width", type=int, default=480)
     p.add_argument("--height", type=int, default=270)
     p.add_argument("--frames", type=int, default=4)
@@ -108,7 +111,18 @@ def build_schedule(spec: str):
 def main(argv=None) -> int:
     args = parse_args(argv)
 
+    import os as _os
+
     import jax as _jax
+
+    # honor JAX_PLATFORMS even under plugin backends that ignore the env var
+    # alone (the axon TPU plugin registers regardless — CLAUDE.md gotcha;
+    # `JAX_PLATFORMS=cpu python -m ...apps.main` must really run on CPU)
+    if _os.environ.get("JAX_PLATFORMS"):
+        try:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        except Exception:  # noqa: BLE001
+            pass
 
     # persistent compile cache (frame graphs are ~minutes cold; see bench.py)
     try:
@@ -163,7 +177,7 @@ def main(argv=None) -> int:
         if data is None:
             print(f"failed to load probe {args.hdr}", file=sys.stderr)
             return 1
-        probe = build_cdf(data)
+        probe = build_cdf(data, prefilter=args.probe_prefilter)
     else:
         probe = constant_probe((args.ambient,) * 3)
 

@@ -102,16 +102,50 @@ def _build_alias(weights: np.ndarray):
 SAMPLE_ROWS_MAX_TEXELS = 1 << 21
 
 
-def build_cdf(data: np.ndarray) -> ProbeParams:
+def gaussian_prefilter_3x3(intensity: np.ndarray) -> np.ndarray:
+    """3x3 Gaussian (sigma=0.5) prefilter of a lat-long intensity image —
+    the OptixUtils env-CDF variant (Texture.cpp:7-44): x wraps (repeat),
+    y clamps to edge; weights center 0.619347, edges 0.0838195, corners
+    0.0113437 (sum 1). Its purpose upstream: keep the piecewise-linear
+    sampling function nonzero next to bright texels so continuous CDF
+    inversion can land on them (Texture.cpp:75 comment)."""
+    c = intensity
+    left = np.roll(c, 1, axis=1)      # x-1 with repeat
+    right = np.roll(c, -1, axis=1)    # x+1 with repeat
+    up = np.concatenate([c[:1], c[:-1]], axis=0)      # y-1 clamped
+    down = np.concatenate([c[1:], c[-1:]], axis=0)    # y+1 clamped
+    ul = np.roll(up, 1, axis=1)
+    ur = np.roll(up, -1, axis=1)
+    dl = np.roll(down, 1, axis=1)
+    dr = np.roll(down, -1, axis=1)
+    return (
+        0.619347 * c
+        + 0.0838195 * (left + right + up + down)
+        + 0.0113437 * (ul + ur + dl + dr)
+    ).astype(np.float32)
+
+
+def build_cdf(data: np.ndarray, prefilter: bool = False) -> ProbeParams:
     """Build the 2-level luminance CDF (Probe.h BuildCDF semantics).
 
     pdf_x[j,i] = L[j,i] / sum_i L[j,:]     cdf_x[j,i] = cumsum_i / sum_i (inclusive)
     pdf_y[j]   = sum_i L[j,:] / sum L      cdf_y[j]   = cumsum_j / sum (inclusive)
+
+    ``prefilter`` selects the OptixUtils Texture.cpp variant (linked but
+    never called upstream): the sampling weight is the 3x3
+    Gaussian-prefiltered mean intensity (r+g+b)/3 (Texture.cpp:7-44,76)
+    instead of raw 0.3/0.6/0.1 luminance — texels adjacent to bright ones
+    get nonzero sampling probability. (The reference folds sin(theta) into
+    its function; here the sin-theta Jacobian stays in ProbePdf/probe_pdf,
+    identical estimator either way.)
     """
     data = np.asarray(data, dtype=np.float32)
     assert data.ndim == 3 and data.shape[2] >= 3
     rgb = data[..., :3]
-    weight = 0.3 * rgb[..., 0] + 0.6 * rgb[..., 1] + 0.1 * rgb[..., 2]
+    if prefilter:
+        weight = gaussian_prefilter_3x3(rgb.mean(axis=2))
+    else:
+        weight = 0.3 * rgb[..., 0] + 0.6 * rgb[..., 1] + 0.1 * rgb[..., 2]
     weight = np.maximum(weight, 0.0)
     row_sum = weight.sum(axis=1)  # (H,)
     safe_row = np.where(row_sum > 0, row_sum, 1.0)

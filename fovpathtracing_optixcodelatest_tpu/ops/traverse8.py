@@ -378,6 +378,15 @@ def _apply_inv_transform(gt, o_r, d_r):
     return op, dp, ip
 
 
+def pop_key_bits(n: int) -> int:
+    """How many pop-count bits fit in a composite i32 sort key above an
+    ``n``-lane position field (one bit reserved for the dead flag at 1<<30).
+    The temporal pop-sorting keys (render/integrator.py) clip the previous
+    frame's per-lane pop counts to this many bits."""
+    posbits = max(1, (n - 1).bit_length())
+    return max(0, 30 - posbits)
+
+
 def _ch_init(bvh, o_r, inv_r, sp0, t0, tmin, tmax, depth, lowmask, himask):
     """Per-chunk closest-hit init with iteration 0 UNROLLED: every active
     lane's first pop is the ROOT (the zeros-initialized stack decodes to
@@ -416,6 +425,7 @@ def _ch_init(bvh, o_r, inv_r, sp0, t0, tmin, tmax, depth, lowmask, himask):
         jnp.zeros((SUB, l), dtype=jnp.int32)
         + (cnt0 > depth).astype(jnp.int32)
         * (depth < bvh.stack_depth),  # overflowed
+        (sp0 > 0).astype(jnp.int32),  # useful pops (root expand counts 1)
     )
     return state
 
@@ -433,15 +443,16 @@ def _ch_step(bvh, rays_k, st, tmin, tmax, depth, lowmask, himask):
     compiled out when ``bvh.num_instances == 0``."""
     o_r, d_r, inv_r = rays_k
     instanced = bvh.num_instances > 0
-    stack, sp, t, u, v, best, overflow = st[:7]
+    stack, sp, t, u, v, best, overflow, pops = st[:8]
     if instanced:
-        cur, best_inst, op, dp, ip = st[7:]
+        cur, best_inst, op, dp, ip = st[8:]
         op, dp, ip = list(op), list(dp), list(ip)
     tlimit = jnp.minimum(t, tmax)
     tlim_key = _mono_u32(tlimit) | lowmask
     packed, sp, fresh = _pop_fresh(
         stack, sp, tlim_key, drains=DEFAULT_DRAINS
     )
+    pops = pops + fresh.astype(jnp.int32)
     code = packed & lowmask
     kind = code & 3
     row = (code >> 2).astype(jnp.int32)
@@ -505,7 +516,7 @@ def _ch_step(bvh, rays_k, st, tmin, tmax, depth, lowmask, himask):
         best = jnp.where(better, tid_k, best)
         if instanced:
             best_inst = jnp.where(better, cur, best_inst)
-    out = (stack, sp, t, u, v, best, overflow)
+    out = (stack, sp, t, u, v, best, overflow, pops)
     if instanced:
         out = out + (cur, best_inst, tuple(op), tuple(dp), tuple(ip))
     return out
@@ -572,8 +583,8 @@ def _closest_loop(bvh, chunks, tmin, tmax, step_limit, depth):
     for st in outs:
         pending = ((st[1] > 0) | (st[6] > 0)).astype(jnp.int32)
         # dummy scalar keeps the map output arity fixed when not instanced
-        best_inst = st[8] if instanced else jnp.zeros((), jnp.int32)
-        res.append((st[2], st[3], st[4], st[5], best_inst, pending))
+        best_inst = st[9] if instanced else jnp.zeros((), jnp.int32)
+        res.append((st[2], st[3], st[4], st[5], best_inst, pending, st[7]))
     return res, steps
 
 
@@ -637,7 +648,8 @@ def closest_hit_staged(
     tri_or_miss = jnp.where(p2s["hit"], p2s["tri_id"], -1)
     instanced = bvh.num_instances > 0
     u = lax.sort(
-        [s[0] & (done_bit - 1), p2s["t"], p2s["u"], p2s["v"], tri_or_miss]
+        [s[0] & (done_bit - 1), p2s["t"], p2s["u"], p2s["v"], tri_or_miss,
+         p2s["pops"]]
         + ([p2s["inst"]] if instanced else []),
         num_keys=1,
     )
@@ -649,10 +661,11 @@ def closest_hit_staged(
         "tri_id": jnp.where(closer, u[4], p1["tri_id"]),
         "hit": p1["hit"] | closer,
         "pending": jnp.zeros_like(pend),
+        "pops": p1["pops"] + u[5],
         "steps": p1["steps"] + p2s["steps"],
     }
     if instanced:
-        out["inst"] = jnp.where(closer, u[5], p1["inst"])
+        out["inst"] = jnp.where(closer, u[6], p1["inst"])
     return out
 
 
@@ -744,11 +757,11 @@ def closest_hit(
         )
         stk = lambda j: jnp.stack([r[j] for r in res], axis=0)  # noqa: E731
         inst_out = stk(4) if instanced else jnp.zeros((), jnp.int32)
-        return stk(0), stk(1), stk(2), stk(3), inst_out, stk(5), steps
+        return stk(0), stk(1), stk(2), stk(3), inst_out, stk(5), stk(6), steps
 
     if c2 == 1:
         outs = step(tuple(x[0] for x in xs))
-        t, u, v, best, inst, pending, steps = outs
+        t, u, v, best, inst, pending, pops, steps = outs
         steps_total = steps
     elif DYN_TRIP:
         zf = jnp.zeros((c2, kk, SUB, l), jnp.float32)
@@ -759,14 +772,15 @@ def closest_hit(
             jnp.full((c2, kk, SUB, l), -1, jnp.int32) if instanced
             else jnp.zeros((c2,), jnp.int32),  # inst (dummy scalar o.w.)
             zi,                              # pending: no work left
+            zi,                              # pops: never stepped = 0
             jnp.zeros((c2,), jnp.int32),     # steps
         )
-        t, u, v, best, inst, pending, steps = _chunk_map(
+        t, u, v, best, inst, pending, pops, steps = _chunk_map(
             step, xs, init, _dyn_trip_count(xs[3].reshape(c2, -1, l))
         )
         steps_total = jnp.sum(steps)
     else:
-        t, u, v, best, inst, pending, steps = jax.lax.map(step, xs)
+        t, u, v, best, inst, pending, pops, steps = jax.lax.map(step, xs)
         steps_total = jnp.sum(steps)
 
     # batch-level epilogue: reshapes only — the winning tri id was read off
@@ -781,6 +795,7 @@ def closest_hit(
         "v": v.reshape(-1)[:n0],
         "hit": best_f >= 0,
         "pending": pending.reshape(-1)[:n0] > 0,
+        "pops": pops.reshape(-1)[:n0],
         "steps": steps_total,
     }
     if bvh.num_instances > 0:
@@ -801,6 +816,7 @@ def occluded(
     stack_cap: int | None = None,
     iter_cap: int | None = None,
     return_pending: bool = False,
+    return_pops: bool = False,
 ):
     """Any-hit occlusion with first-hit termination. Back-face culling
     defaults on (the PT_sv5_ occlusion ray flag, deviceProgram.cu:237); the
@@ -864,6 +880,7 @@ def occluded(
                 jnp.zeros((SUB, l), dtype=bool),  # occ
                 (cnt0 > depth).astype(jnp.int32)
                 * (depth < bvh.stack_depth),  # overflowed
+                (sp_init > 0).astype(jnp.int32),  # useful pops (root = 1)
             )
 
         states = []
@@ -882,11 +899,12 @@ def occluded(
 
         def step_one(rays_k, s5):
             o_t, d_t, inv_t = rays_k
-            stack, sp, occ, overflow = s5[:4]
+            stack, sp, occ, overflow, pops = s5[:5]
             if instanced:
-                op, dp, ip = (list(x) for x in s5[4:])
+                op, dp, ip = (list(x) for x in s5[5:])
             sp = jnp.where(occ, 0, sp)  # occluded rays drop remaining work
             entry, sp, has = _pop(stack, sp)
+            pops = pops + has.astype(jnp.int32)
             kind = entry & 3
             row = (entry >> 2).astype(jnp.int32)
             is_node = has & (kind == KIND_NODE)
@@ -938,7 +956,7 @@ def occluded(
             )
             for hit_k, _t, _u, _v in leaf_out:
                 occ = occ | hit_k
-            out = (stack, sp, occ, overflow)
+            out = (stack, sp, occ, overflow, pops)
             if instanced:
                 out = out + (tuple(op), tuple(dp), tuple(ip))
             return out
@@ -958,7 +976,7 @@ def occluded(
             pend_i = (
                 ~st[2] & ((st[1] > 0) | (st[3] > 0))
             ).astype(jnp.int32)
-            res.append((occ_i, pend_i))
+            res.append((occ_i, pend_i, st[4]))
         return res
 
     kk = max(1, min(DEFAULT_STREAMS, c))
@@ -989,18 +1007,21 @@ def occluded(
         return (
             jnp.stack([r[0] for r in res], axis=0),
             jnp.stack([r[1] for r in res], axis=0),
+            jnp.stack([r[2] for r in res], axis=0),
         )
 
     if c2 == 1:
-        occ, pend = step(tuple(x[0] for x in xs))
+        occ, pend, pops = step(tuple(x[0] for x in xs))
     elif DYN_TRIP:
         zi = jnp.zeros((c2, kk, SUB, l), jnp.int32)
-        occ, pend = _chunk_map(
-            step, xs, (zi, zi), _dyn_trip_count(xs[3].reshape(c2, -1, l))
+        occ, pend, pops = _chunk_map(
+            step, xs, (zi, zi, zi), _dyn_trip_count(xs[3].reshape(c2, -1, l))
         )
     else:
-        occ, pend = jax.lax.map(step, xs)
+        occ, pend, pops = jax.lax.map(step, xs)
     occ_out = occ.reshape(-1)[:n0] > 0
+    if return_pops:
+        return occ_out, pops.reshape(-1)[:n0]
     if return_pending:
         return occ_out, pend.reshape(-1)[:n0] > 0
     return occ_out

@@ -552,9 +552,25 @@ def trace_paths(
             0.0,
         )
 
+        # ---- BSDF sampling (cu:700-731) — drawn BEFORE the occlusion walk:
+        # its pdf>0 outcome gates the whole vertex contribution
+        # (DONE-before-add, cu:515-527), so a failed-sample lane's occlusion
+        # result can never matter — except to a shadow catcher's alpha,
+        # which is not sample-gated (cu:646-651); catcher lanes keep their
+        # query. Same RNG lanes as the reference order (u_all[:, 2:8]).
+        u_frame, v_frame = basis_from_vector(nrm)
+        l_dir, pdf, _stype = bsdf_ops.bsdf_sample(
+            m, eta_in, out_eta, u_frame, v_frame, nrm, view, u_all[:, 2:8]
+        )
+        sample_ok = pdf > 0.0
+
         # occlusion query only where the result can matter (the lift is a
         # nonnegative combination, so zero RGB => zero at every wavelength)
-        occl_query = hit_mask & (jnp.max(light_val, axis=1) > 0.0)
+        occl_query = (
+            hit_mask
+            & (jnp.max(light_val, axis=1) > 0.0)
+            & (sample_ok | is_catcher)
+        )
         occ = _occluded_compacted(scene, p, wi, occl_query, config)
         light_c = lift(light_val)  # (N, C)
         nee_contrib = jnp.where((~occ)[:, None], light_c, 0.0)
@@ -579,12 +595,7 @@ def trace_paths(
             carry["alpha"] + to_rgb(catcher_shadow),
         )
 
-        # ---- BSDF sampling (cu:700-731) ----
-        u_frame, v_frame = basis_from_vector(nrm)
-        l_dir, pdf, _stype = bsdf_ops.bsdf_sample(
-            m, eta_in, out_eta, u_frame, v_frame, nrm, view, u_all[:, 2:8]
-        )
-        sample_ok = pdf > 0.0
+        # ---- BSDF throughput update (cu:700-731; sample drawn above) ----
         f_b = bsdf_ops.bsdf_eval(m, albedo, eta_in, out_eta, nrm, view, l_dir)
         transmitted = dot(l_dir, nrm) <= 0.0
         eta_out = jnp.where(hit_mask & transmitted, out_eta, eta_in)

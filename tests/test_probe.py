@@ -164,3 +164,58 @@ def test_huge_probe_falls_back_without_sample_rows():
     b = probe_sample(big, r1, r2)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_prefiltered_cdf_spreads_to_neighbors():
+    """Texture.cpp variant (3x3 Gaussian prefilter, OptixUtils
+    Texture.cpp:7-44): on a spiky HDR, the plain CDF gives zero sampling
+    probability to texels adjacent to an isolated bright texel; the
+    prefiltered CDF must give them nonzero probability while both keep a
+    normalized, unbiased estimator."""
+    h, w = 32, 64
+    data = np.zeros((h, w, 3), dtype=np.float32)
+    data[10, 20] = 100.0  # single bright texel in a black env
+    data[0, 0] = 1e-3     # keep total > 0 away from the spike too
+    plain = probe_mod.build_cdf(data)
+    pre = probe_mod.build_cdf(data, prefilter=True)
+    pdf_plain = np.asarray(plain.pdf_x) * np.asarray(plain.pdf_y)[:, None]
+    pdf_pre = np.asarray(pre.pdf_x) * np.asarray(pre.pdf_y)[:, None]
+    # neighbors of the spike: zero probability plain, nonzero prefiltered
+    assert pdf_plain[10, 21] == 0.0 and pdf_plain[9, 20] == 0.0
+    assert pdf_pre[10, 21] > 0.0 and pdf_pre[9, 20] > 0.0
+    assert pdf_pre[11, 21] > 0.0  # corner neighbor too
+    # x wraps, y clamps (Texture.cpp:10-13): a spike at column 0 must leak
+    # to the last column, and a spike at row 0 must not wrap to the bottom
+    data2 = np.zeros((h, w, 3), dtype=np.float32)
+    data2[0, 0] = 100.0
+    pre2 = probe_mod.build_cdf(data2, prefilter=True)
+    pdf2 = np.asarray(pre2.pdf_x) * np.asarray(pre2.pdf_y)[:, None]
+    assert pdf2[0, w - 1] > 0.0  # x repeat
+    assert pdf2[h - 1, 0] == 0.0  # y clamp (no wrap to bottom)
+    # CDF stays normalized on rows with any weight (all-black rows keep
+    # cdf 0 and pdf_y 0 — never sampled, same as the plain build)
+    nz = np.asarray(pre.pdf_y) > 0
+    np.testing.assert_allclose(np.asarray(pre.cdf_x)[nz, -1], 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pre.cdf_y)[-1], 1.0, atol=1e-5)
+
+
+def test_prefiltered_estimator_unbiased():
+    """MC estimate of the env integral with the prefiltered pdf must match
+    the plain pdf's estimate (importance distribution changes, estimator
+    doesn't)."""
+    rng = np.random.default_rng(7)
+    data = rng.uniform(0.0, 1.0, size=(16, 32, 3)).astype(np.float32)
+    data[5, 7] = 200.0
+    n = 400_000
+    key = jax.random.PRNGKey(1)
+    r = jax.random.uniform(key, (2, n))
+    ests = []
+    for pf in (False, True):
+        p = probe_mod.build_cdf(data, prefilter=pf)
+        d, color, pdf = ps.probe_sample(p, r[0], r[1])
+        lum = np.asarray(0.3 * color[:, 0] + 0.6 * color[:, 1]
+                         + 0.1 * color[:, 2])
+        pdfn = np.asarray(pdf)
+        ok = pdfn > 0
+        ests.append((lum[ok] / pdfn[ok]).sum() / n)
+    np.testing.assert_allclose(ests[0], ests[1], rtol=0.05)
