@@ -238,6 +238,82 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     return out
 
 
+# fused-bounce sort-key layout: group << 28 | frame position (group 0 =
+# occlusion-active, 1 = alive without occlusion, 2 = dead). occl_query is a
+# subset of next-bounce alive (the sample_ok gate guarantees it on
+# catcher-free scenes), so ONE end-of-bounce sort compacts BOTH the
+# occlusion walk's actives AND the next closest-hit's actives to a prefix.
+_GMASK = jnp.int32((1 << 28) - 1)
+_GDEAD = jnp.int32(2 << 28)
+
+
+def _closest_fused(scene, o_s, d_s, skey, config, iter_cap=None):
+    """Closest-hit on rays ALREADY in compacted (actives-prefix) order, as
+    maintained across bounces by the fused end-of-bounce sort in
+    ``trace_paths``: the per-bounce alive-sort of _closest_compacted is
+    deleted outright (~6 ms/bounce at the bench frame). ``skey`` carries
+    (group << 28) | frame position; active = skey < _GDEAD. Returns the
+    FRAME-order hit dict (same contract/keys as _closest_compacted)."""
+    slim = not scene.bvh.instanced
+    alive_s = skey < _GDEAD
+    staged = config.traversal_phase1_cap > 0 and scene.bvh.num_rows > 512
+    cap = config.traversal_phase1_cap if iter_cap is None else iter_cap
+    if not staged:
+        hitq = traverse8.closest_hit(
+            scene.bvh, o_s, d_s, config.tmin, config.tmax, active=alive_s
+        )
+        tri_or_miss = jnp.where(hitq["hit"], hitq["tri_id"], -1)
+        u = lax.sort(
+            [skey & _GMASK, tri_or_miss]
+            + ([] if slim else [hitq["t"], hitq["u"], hitq["v"],
+                                hitq["inst"]]),
+            num_keys=1,
+        )
+        out = {"tri_id": u[1], "hit": u[1] >= 0, "steps": hitq["steps"]}
+        if not slim:
+            out.update(t=u[2], u=u[3], v=u[4], inst=u[5])
+        return out
+    p1 = traverse8.closest_hit(
+        scene.bvh, o_s, d_s, config.tmin, config.tmax, active=alive_s,
+        iter_cap=cap, stack_cap=16,
+    )
+    pend = p1["pending"] & alive_s
+    tri1 = jnp.where(p1["hit"], p1["tri_id"], -1)
+    ikey2 = jnp.where(pend, 0, _DEAD) | (skey & _GMASK)
+    s2 = lax.sort(
+        [ikey2, o_s[:, 0], o_s[:, 1], o_s[:, 2],
+         d_s[:, 0], d_s[:, 1], d_s[:, 2], p1["t"], tri1]
+        + ([] if slim else [p1["u"], p1["v"], p1["inst"]]),
+        num_keys=1,
+    )
+    p2 = traverse8.closest_hit(
+        scene.bvh,
+        jnp.stack(s2[1:4], axis=1),
+        jnp.stack(s2[4:7], axis=1),
+        config.tmin, config.tmax,
+        active=s2[0] < _DEAD,
+        t_seed=s2[7] * (1.0 + 1e-6),
+    )
+    closer = (s2[0] < _DEAD) & p2["hit"]
+    tri = jnp.where(closer, p2["tri_id"], s2[8])
+    fin_ops = [s2[0] & (_DEAD - 1), tri]
+    if not slim:
+        fin_ops += [
+            jnp.where(closer, p2["t"], s2[7]),
+            jnp.where(closer, p2["u"], s2[9]),
+            jnp.where(closer, p2["v"], s2[10]),
+            jnp.where(closer, p2["inst"], s2[11]),
+        ]
+    fin = lax.sort(fin_ops, num_keys=1)
+    out = {
+        "tri_id": fin[1], "hit": fin[1] >= 0,
+        "steps": p1["steps"] + p2["steps"],
+    }
+    if not slim:
+        out.update(t=fin[2], u=fin[3], v=fin[4], inst=fin[5])
+    return out
+
+
 def _hit_keys(scene):
     """Pytree-stable key set of _closest_compacted's result dict."""
     if scene.bvh.instanced:
@@ -309,6 +385,7 @@ def trace_paths(
     key: jnp.ndarray,
     config: RenderConfig,
     ray_ids: jnp.ndarray | None = None,
+    rays_packed: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Trace N paths to completion.
 
@@ -317,6 +394,18 @@ def trace_paths(
         (foveation ring rejection enters here, deviceProgram.cu:435-440).
       key: PRNG key; per-bounce, per-ray streams are folded in from
         ``ray_ids`` (global ray indices — see ops/rng.py; defaults to arange).
+      rays_packed: caller guarantees active lanes already occupy a prefix
+        (the frame-compaction sort does this) — the fused-bounce path then
+        skips its one up-front compaction sort.
+
+    Fused-bounce sort pipeline (catcher-free compacted scenes): the carry
+    keeps BOTH a frame-order ray copy (for shading) and a compacted-order
+    copy (for the traversals). Each bounce runs closest-hit directly on the
+    compacted rays (no per-bounce alive-sort), and ONE end-of-bounce sort
+    keyed (occl-active, alive, dead) simultaneously compacts the occlusion
+    walk's rays AND the next bounce's closest-hit rays — 4 sorts / 23
+    operands per bounce instead of 5 / 27. Pure permutation change:
+    bit-identical output.
     Returns dict:
       radiance (N, 3) — per-path sum of NEE/emission contributions ("result").
       alpha (N, 3) — backplate compositing alpha (see module docstring).
@@ -355,6 +444,15 @@ def trace_paths(
         to_rgb = lambda spec: spec  # noqa: E731
         nch = 3
 
+    # fused-bounce pipeline applies to catcher-free compacted BVH traversal
+    # (catcher scenes need occlusion results on sample-failed lanes, which
+    # breaks occl_query ⊆ alive; the oracle path has no sorts to fuse)
+    fused = (
+        config.compact_bounces
+        and config.traversal != "oracle"
+        and not scene.materials.has_catcher
+    )
+
     carry = dict(
         origin=origin,
         direction=direction,
@@ -367,6 +465,22 @@ def trace_paths(
         alive=active.astype(bool),
         traces=jnp.zeros((), dtype=jnp.int32),
     )
+    if fused:
+        assert n <= (1 << 28), "fused sort keys hold 28 position bits"
+        skey0 = jnp.where(active, 0, _GDEAD) | jnp.arange(n, dtype=jnp.int32)
+        if rays_packed:
+            carry.update(origin_s=origin, direction_s=direction, skey=skey0)
+        else:
+            s0 = lax.sort(
+                [skey0, origin[:, 0], origin[:, 1], origin[:, 2],
+                 direction[:, 0], direction[:, 1], direction[:, 2]],
+                num_keys=1,
+            )
+            carry.update(
+                origin_s=jnp.stack(s0[1:4], axis=1),
+                direction_s=jnp.stack(s0[4:7], axis=1),
+                skey=s0[0],
+            )
     if spectral:
         carry["lam_alive"] = jnp.ones((n, nh), dtype=bool)
     if scene.demand is not None:
@@ -389,7 +503,15 @@ def trace_paths(
                 jnp.int32(config.traversal_phase1_cap_primary),
                 jnp.int32(config.traversal_phase1_cap),
             )
-        hit = _closest_compacted(scene, o, d, alive, config, iter_cap=icap)
+        if fused:
+            hit = _closest_fused(
+                scene, carry["origin_s"], carry["direction_s"],
+                carry["skey"], config, iter_cap=icap,
+            )
+        else:
+            hit = _closest_compacted(
+                scene, o, d, alive, config, iter_cap=icap
+            )
 
         if scene.materials.has_catcher and config.catcher_passthrough > 0:
             # catcher pass-through (cu:646-651): on secondary rays a catcher
@@ -571,7 +693,38 @@ def trace_paths(
             & (jnp.max(light_val, axis=1) > 0.0)
             & (sample_ok | is_catcher)
         )
-        occ = _occluded_compacted(scene, p, wi, occl_query, config)
+        if fused:
+            # ONE sort compacts the occlusion walk AND hands the next bounce
+            # its already-compacted rays (occl_query ⊆ next alive): the
+            # sorted o_next doubles as the occlusion origin (o_next == p on
+            # every hit lane), so only wi rides as extra payload.
+            next_alive = hit_mask & sample_ok
+            o_next = jnp.where(hit_mask[:, None], p, o)
+            d_next = jnp.where(hit_mask[:, None], l_dir, d)
+            kgrp = jnp.where(
+                occl_query, 0, jnp.where(next_alive, 1, 2)
+            )
+            knext = (kgrp << 28) | jnp.arange(n, dtype=jnp.int32)
+            es = lax.sort(
+                [knext,
+                 o_next[:, 0], o_next[:, 1], o_next[:, 2],
+                 d_next[:, 0], d_next[:, 1], d_next[:, 2],
+                 wi[:, 0], wi[:, 1], wi[:, 2]],
+                num_keys=1,
+            )
+            occ_s = traverse8.occluded(
+                scene.bvh,
+                jnp.stack(es[1:4], axis=1),
+                jnp.stack(es[7:10], axis=1),
+                config.tmin, config.tmax,
+                active=es[0] < (1 << 28),
+            )
+            occu = lax.sort(
+                [es[0] & _GMASK, occ_s.astype(jnp.int32)], num_keys=1
+            )
+            occ = occu[1] > 0
+        else:
+            occ = _occluded_compacted(scene, p, wi, occl_query, config)
         light_c = lift(light_val)  # (N, C)
         nee_contrib = jnp.where((~occ)[:, None], light_c, 0.0)
         shadow_contrib = jnp.where(occ[:, None], light_c, 0.0)
@@ -643,8 +796,9 @@ def trace_paths(
         albedo_aov = jnp.where(take_aov[:, None], albedo, carry["albedo"])
 
         new_carry = dict(
-            origin=jnp.where(hit_mask[:, None], p, o),
-            direction=jnp.where(hit_mask[:, None], l_dir, d),
+            origin=o_next if fused else jnp.where(hit_mask[:, None], p, o),
+            direction=d_next if fused
+            else jnp.where(hit_mask[:, None], l_dir, d),
             throughput=new_throughput,
             eta=eta_out,
             radiance=carry["radiance"] + contrib,
@@ -657,6 +811,12 @@ def trace_paths(
             + jnp.sum(occl_query.astype(jnp.int32))
             + pt_traces,
         )
+        if fused:
+            new_carry.update(
+                origin_s=jnp.stack(es[1:4], axis=1),
+                direction_s=jnp.stack(es[4:7], axis=1),
+                skey=es[0],
+            )
         if spectral:
             new_carry["lam_alive"] = new_lam_alive
         if scene.demand is not None:

@@ -161,6 +161,7 @@ def frame_wavefront(
             jnp.stack(s[4:7], axis=1)[:budget],
             (s[0] < (1 << 30))[:budget],
             path_key, config, ray_ids=s[7][:budget],
+            rays_packed=True,  # this sort just packed actives to a prefix
         )
         tail = jnp.zeros((n_total - budget, 3), jnp.float32)
         # AOVs ride the unsort only when a consumer exists (config.need_aov)
