@@ -29,7 +29,19 @@ def main() -> None:
 
     # persistent compile cache: the frame graph is expensive to build (~250 s
     # cold on the axon tunnel, ~85 s warm — measured); cache it across runs
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fovtpu_tpu_cache")
+    import os
+
+    cache_dir = "/tmp/fovtpu_tpu_cache"
+    try:
+        cache_entries = len(os.listdir(cache_dir))
+    except OSError:
+        cache_entries = 0
+    print(
+        f"compile cache: {cache_entries} entries in {cache_dir} "
+        f"({'warm' if cache_entries else 'cold'} start)",
+        file=sys.stderr,
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from fovpathtracing_optixcodelatest_tpu.config import (
@@ -107,6 +119,61 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Textured datapoint: same geometry with per-face UV-mapped procedural
+    # diffuse textures, texel gathers ON — all three reference benchmark
+    # scenes are textured (deviceProgram.cu:655-670 tex2D per shade), so the
+    # headline must not silently exclude that cost.
+    textured = {}
+    try:
+        meshes_t, cam_t, images_t = scenes.box_city_textured(n=24, seed=0)
+        scene_t = build_scene(
+            meshes_t, probe=gradient_sky_probe(), texture_images=images_t
+        )
+        assert scene_t.geom.has_textures
+        camp_t = dataclasses.replace(
+            cam_t, aspect=width / height
+        ).device_params()
+        canvas_t = film.new_canvas(width, height, pad)
+        t0 = time.perf_counter()
+        canvas_t, frame_t, stats_t = render_frame(
+            scene_t, camp_t, gx, gy, jnp.asarray(0, jnp.int32), canvas_t,
+            key, config, schedule,
+        )
+        _ = np.asarray(frame_t)
+        print(
+            f"textured compile+first frame: {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        for i in range(2):
+            canvas_t, frame_t, stats_t = render_frame(
+                scene_t, camp_t, gx, gy, jnp.asarray(i + 1, jnp.int32),
+                canvas_t, jax.random.fold_in(key, 200 + i), config, schedule,
+            )
+        _ = np.asarray(stats_t["traces"])
+        n_tex = 8
+        t0 = time.perf_counter()
+        traces_t = jnp.zeros((), jnp.int32)
+        for i in range(n_tex):
+            canvas_t, frame_t, stats_t = render_frame(
+                scene_t, camp_t, gx, gy, jnp.asarray(i + 3, jnp.int32),
+                canvas_t, jax.random.fold_in(key, 300 + i), config, schedule,
+            )
+            traces_t = traces_t + stats_t["traces"]
+        traces_t = int(traces_t)
+        dt_t = time.perf_counter() - t0
+        textured = {
+            "textured_mrays": round(traces_t / dt_t / 1e6, 2),
+            "textured_fps": round(n_tex / dt_t, 2),
+        }
+        print(
+            f"textured: {n_tex} frames in {dt_t:.2f}s -> "
+            f"{textured['textured_fps']} fps, "
+            f"{textured['textured_mrays']} Mrays/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # headline must survive a textured failure
+        print(f"textured bench failed: {e}", file=sys.stderr)
+
     # Second datapoint: a reference-scale scene (the reference's benchmark
     # OBJ archive is 1e5–1e7 triangles — sponza TSV line-1 tag `1e+07`,
     # PT_sv4_vmv2/data/sponza_fov_32_16_8.tsv) whose BVH table does NOT fit
@@ -168,6 +235,8 @@ def main() -> None:
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 200.0, 3),
+                "cache_entries_at_start": cache_entries,
+                **textured,
                 **deep,
             }
         )

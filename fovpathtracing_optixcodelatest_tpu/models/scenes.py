@@ -10,6 +10,7 @@ Sponza-class benchmark scene (closed-ish architecture, heavy occlusion),
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Tuple
 
 import numpy as np
@@ -120,6 +121,60 @@ def box_city_fast(
         lookat=(0.0, 0.0, 0.0), up=(0, 1, 0), fov_y=45.0, aspect=1.0,
     )
     return meshes, cam
+
+
+def _procedural_texture(hue: np.ndarray, kind: int, res: int = 256) -> np.ndarray:
+    """Deterministic (res, res, 3) float32 texture: 0 = brick courses,
+    1 = checker, 2 = speckle noise — stand-ins for the reference's diffuse
+    maps (Model.cpp:87-136 loadTexture), which ship outside its repo."""
+    v = np.linspace(0.0, 1.0, res, endpoint=False)
+    uu, vv = np.meshgrid(v, v, indexing="xy")
+    if kind == 0:  # brick: offset courses with mortar lines
+        row = np.floor(vv * 8.0)
+        uo = uu + 0.5 * (row % 2)
+        mortar = ((vv * 8.0) % 1.0 < 0.08) | ((uo * 4.0) % 1.0 < 0.05)
+        base = np.where(mortar, 0.35, 1.0)
+    elif kind == 1:  # checker
+        base = 0.45 + 0.55 * (
+            (np.floor(uu * 8.0) + np.floor(vv * 8.0)) % 2
+        )
+    else:  # speckle: deterministic hash noise
+        g = np.sin((np.floor(uu * 64) * 127.1 + np.floor(vv * 64) * 311.7))
+        base = 0.6 + 0.4 * ((g * 43758.5453) % 1.0)
+    return (base[:, :, None] * hue[None, None, :]).astype(np.float32)
+
+
+def box_city_textured(
+    n: int = 24, seed: int = 0, spread: float = 40.0, palette: int = 8
+) -> Tuple[List[HostMesh], Camera, List[np.ndarray]]:
+    """box_city with per-face UV-mapped procedural diffuse textures — the
+    textured-benchmark twin (all three reference benchmark OBJs are textured;
+    deviceProgram.cu:655-670 tex2D fetch). Returns (meshes, camera, images)
+    for build_scene(texture_images=...). Geometry is IDENTICAL to
+    box_city(n, seed, spread); only texcoords/texture ids differ."""
+    meshes, cam = box_city(n=n, seed=seed, spread=spread)
+    rng = np.random.default_rng(seed + 7)
+    hues = rng.uniform(0.4, 1.0, (palette, 3)).astype(np.float32)
+    images = [
+        _procedural_texture(hues[k], kind=k % 3) for k in range(palette)
+    ]
+    # unit-box face UVs: each face of make_box's 36-vertex layout spans
+    # [0,tile]² so the bilinear-wrap path really wraps
+    face_uv = np.asarray(
+        [[0, 0], [1, 0], [1, 1], [0, 0], [1, 1], [0, 1]], dtype=np.float32
+    )
+    out = []
+    for i, m in enumerate(meshes):
+        tile = 4.0 if i == 0 else 2.0  # ground tiles more
+        tc = np.tile(face_uv, (m.vertex.shape[0] // 6, 1)) * tile
+        out.append(
+            dataclasses.replace(
+                m,
+                texcoord=tc.astype(np.float32),
+                diffuse_texture_id=int(rng.integers(0, palette)),
+            )
+        )
+    return out, cam, images
 
 
 def box_city(
