@@ -80,6 +80,11 @@ class WideBVH:
 
     table: jnp.ndarray  # (U, W) f32
     leaf_perm: jnp.ndarray  # (U, leaf_size) i32
+    # treelet layouts upload rows [0, top_rows) AGAIN as a separate small
+    # array: a static lax.slice of the big table gets FUSED back into the
+    # gather (operand stays HBM, per-index rate); a genuinely separate
+    # device array keeps the top-pass gather VMEM-resident. None otherwise.
+    top_table: jnp.ndarray | None = None
     leaf_size: int = LEAF_SIZE
     arity: int = ARITY
     packed: bool = True
@@ -92,6 +97,24 @@ class WideBVH:
     num_instances: int = 0
     inst_base: int = 0
     blas_base: int = 0
+    # rows are DFS-interleaved (each subtree's node AND leaf rows contiguous)
+    # — the layout the deep-scene windowed traversal wants (a ray's working
+    # set stays inside a small row band; see dfs_permute_host)
+    dfs: bool = False
+    # treelet layout (treelet_permute_host): rows [0, top_rows) are the
+    # tree's TOP (every node whose subtree exceeds the treelet budget, plus
+    # the leaf rows those nodes own); rows >= top_rows are the bottom
+    # treelets, each DFS-contiguous and <= the budget. 0 = not treelet-laid.
+    top_rows: int = 0
+    # exact worst-case stack occupancy of a TOP-ONLY walk (treelet children
+    # are diverted, not pushed — ops/traverse8._top_loop); tiny vs the full
+    # tree bound, so the top pass's stack one-hots stay cheap.
+    top_stack: int = 0
+    # exact worst-case stack occupancy of any SINGLE treelet subtree walk —
+    # the windowed rounds' stacks are capped at treelet_stack + K instead of
+    # the full-tree bound (157 vs ~40 at 1.9M tris; the (D, 8, L) one-hot
+    # stack ops scale with D).
+    treelet_stack: int = 0
 
     @property
     def num_rows(self) -> int:
@@ -104,9 +127,10 @@ class WideBVH:
 
 jax.tree_util.register_dataclass(
     WideBVH,
-    data_fields=["table", "leaf_perm"],
+    data_fields=["table", "leaf_perm", "top_table"],
     meta_fields=["leaf_size", "arity", "packed", "stack_depth",
-                 "num_instances", "inst_base", "blas_base"],
+                 "num_instances", "inst_base", "blas_base", "dfs",
+                 "top_rows", "top_stack", "treelet_stack"],
 )
 
 def codebits(num_rows: int) -> int:
@@ -212,12 +236,216 @@ def pack_region_into(table, leaf_perm, row0, tri_base, boxes, meta, tris,
     return m + len(lw), entry
 
 
+def dfs_permute_host(table: np.ndarray, leaf_perm: np.ndarray,
+                     arity: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Permute a packed single-level table into DFS-interleaved row order:
+    parent node row, then its leaf rows, then each child subtree contiguous.
+
+    Default pack order puts ALL node rows first and ALL leaf rows after them,
+    so a descending ray alternates between the table's two halves — the
+    worst case for the deep-scene windowed traversal, which gathers from an
+     8k-row dynamic_slice window (measured: a windowed gather erases the
+    whole HBM-gather penalty, 641→433 us/iter at 243k rows, scratch/
+    r4_window2.py). After this permute a subtree of R rows spans exactly R
+    contiguous rows, so coherent rays share windows.
+
+    Pure row permutation + entry-code rewrite: traversal RESULTS are
+    unchanged (same boxes, same triangles, same f32 math); only pop order
+    among equal-keyed stack entries can differ. Returns
+    (new_table, new_leaf_perm, perm) with perm[old_row] = new_row; the root
+    stays row 0.
+    """
+    u = table.shape[0]
+    codes_all = table[:, 3 * arity : 4 * arity].view(np.int32)  # (U, A)
+    perm = np.full(u, -1, dtype=np.int64)
+    node_mask = np.zeros(u, dtype=bool)
+    cursor = 0
+    stack = [0]
+    while stack:
+        r = stack.pop()
+        if perm[r] >= 0:
+            continue
+        perm[r] = cursor
+        cursor += 1
+        node_mask[r] = True
+        c = codes_all[r]
+        nz = c[c != EMPTY]
+        kinds = nz & 3
+        rows = (nz >> 2).astype(np.int64)
+        for lr in rows[kinds == KIND_LEAF]:
+            if perm[lr] < 0:
+                perm[lr] = cursor
+                cursor += 1
+        kid_nodes = rows[kinds == KIND_NODE]
+        for kn in kid_nodes[::-1]:  # reversed push => slot order visit
+            if perm[kn] < 0:
+                stack.append(kn)
+    unreached = np.nonzero(perm < 0)[0]  # padding rows (e.g. leafless pad)
+    perm[unreached] = cursor + np.arange(len(unreached))
+
+    new_table = np.empty_like(table)
+    new_table[perm] = table
+    new_leaf_perm = np.empty_like(leaf_perm)
+    new_leaf_perm[perm] = leaf_perm
+    # rewrite node rows' child codes to the new row ids
+    nodes_old = np.nonzero(node_mask)[0]
+    oc = codes_all[nodes_old]  # (K, A)
+    nc = np.where(
+        oc == EMPTY, EMPTY,
+        ((perm[oc >> 2] << 2) | (oc & 3)).astype(np.int32),
+    ).astype(np.int32)
+    new_table[perm[nodes_old], 3 * arity : 4 * arity] = nc.view(np.float32)
+    return new_table, new_leaf_perm, perm
+
+
+def treelet_permute_host(
+    table: np.ndarray, leaf_perm: np.ndarray, arity: int, budget: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Permute a packed single-level table into the TREELET layout the
+    deep-scene phased traversal wants (ops/traverse8.closest_hit_treelet):
+
+      rows [0, top_rows)  — the tree's TOP: every node whose subtree spans
+                            more than ``budget`` rows, plus the leaf rows
+                            those nodes own directly. The top is gathered
+                            from a static VMEM-resident slice.
+      rows [top_rows, U)  — bottom treelets (subtree span <= budget rows),
+                            each DFS-interleaved-contiguous, laid out in the
+                            top's DFS encounter order. A lane traversing one
+                            treelet stays inside a ``budget``-row band, so
+                            the windowed gather serves whole row-sorted
+                            chunks from one dynamic_slice window.
+
+    Same bit-exactness argument as dfs_permute_host (pure row permutation +
+    child-code rewrite). Returns (table, leaf_perm, perm, top_rows,
+    top_stack, treelet_stack) — top_stack is the exact worst-case stack
+    occupancy of a top-only walk (treelet children diverted, not pushed);
+    treelet_stack the max occupancy of any single treelet subtree walk."""
+    u = table.shape[0]
+    codes_all = table[:, 3 * arity : 4 * arity].view(np.int32)
+
+    # pass 1: discover node rows + per-node children via DFS from the root
+    kids_node: dict[int, np.ndarray] = {}
+    kids_leaf: dict[int, np.ndarray] = {}
+    order_found: list[int] = []
+    stack = [0]
+    seen = np.zeros(u, dtype=bool)
+    seen[0] = True
+    while stack:
+        r = stack.pop()
+        order_found.append(r)
+        c = codes_all[r]
+        nz = c[c != EMPTY]
+        kinds = nz & 3
+        rows = (nz >> 2).astype(np.int64)
+        kn = rows[kinds == KIND_NODE]
+        kids_node[r] = kn
+        kids_leaf[r] = rows[kinds == KIND_LEAF]
+        for k in kn[::-1]:
+            if not seen[k]:
+                seen[k] = True
+                stack.append(int(k))
+
+    # pass 2: subtree ROW spans, children before parents (reverse DFS order)
+    span = np.zeros(u, dtype=np.int64)
+    for r in reversed(order_found):
+        span[r] = 1 + len(kids_leaf[r]) + int(span[kids_node[r]].sum())
+
+    if span[0] <= budget:  # tiny tree: no top/bottom split to make
+        nt, nl, perm = dfs_permute_host(table, leaf_perm, arity)
+        return nt, nl, perm, 0, 0, 0
+
+    # pass 3: top DFS — assign top rows, collect treelet roots in encounter
+    # order; then each treelet DFS-interleaved
+    perm = np.full(u, -1, dtype=np.int64)
+    cursor = 0
+    treelet_roots: list[int] = []
+    stack = [0]
+    while stack:
+        r = stack.pop()
+        if perm[r] >= 0:
+            continue
+        perm[r] = cursor
+        cursor += 1
+        for lr in kids_leaf[r]:
+            if perm[lr] < 0:
+                perm[lr] = cursor
+                cursor += 1
+        big = [int(k) for k in kids_node[r] if span[k] > budget]
+        treelet_roots.extend(
+            int(k) for k in kids_node[r] if span[k] <= budget
+        )
+        for k in big[::-1]:
+            stack.append(k)
+    top_rows = cursor
+
+    for root in treelet_roots:
+        stack = [root]
+        while stack:
+            r = stack.pop()
+            if perm[r] >= 0:
+                continue
+            perm[r] = cursor
+            cursor += 1
+            for lr in kids_leaf[r]:
+                if perm[lr] < 0:
+                    perm[lr] = cursor
+                    cursor += 1
+            for k in kids_node[r][::-1]:
+                if perm[k] < 0:
+                    stack.append(int(k))
+    unreached = np.nonzero(perm < 0)[0]
+    perm[unreached] = cursor + np.arange(len(unreached))
+
+    new_table = np.empty_like(table)
+    new_table[perm] = table
+    new_leaf_perm = np.empty_like(leaf_perm)
+    new_leaf_perm[perm] = leaf_perm
+    nodes_old = np.asarray(order_found, dtype=np.int64)
+    oc = codes_all[nodes_old]
+    nc = np.where(
+        oc == EMPTY, EMPTY,
+        ((perm[oc >> 2] << 2) | (oc & 3)).astype(np.int32),
+    ).astype(np.int32)
+    new_table[perm[nodes_old], 3 * arity : 4 * arity] = nc.view(np.float32)
+
+    # exact top-only LIFO stack bound (see lifo_stack_bound): pushed
+    # children of a top node = its top-node children + its own leaf rows;
+    # treelet-root children are diverted, not pushed
+    g: dict[int, int] = {}
+    top_nodes = [r for r in order_found if span[r] > budget]
+    for r in reversed(top_nodes):
+        kids_top = [int(k) for k in kids_node[r] if span[k] > budget]
+        c = len(kids_top) + len(kids_leaf[r])
+        sub = max([g[k] for k in kids_top], default=0)
+        g[r] = c - 1 + max(1, sub)
+    top_stack = max(1, g.get(0, 1)) + 1
+
+    # exact per-treelet LIFO bound (children before parents in reverse DFS)
+    gt: dict[int, int] = {}
+    for r in reversed(order_found):
+        if span[r] > budget:
+            continue
+        kids = [int(k) for k in kids_node[r]]
+        c = len(kids) + len(kids_leaf[r])
+        sub = max([gt[k] for k in kids], default=0)
+        gt[r] = c - 1 + max(1, sub)
+    treelet_stack = max(
+        [gt[r] for r in treelet_roots], default=1
+    ) + 1
+    return (new_table, new_leaf_perm, perm, int(top_rows), int(top_stack),
+            int(treelet_stack))
+
+
 def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
               order_slots: np.ndarray, leaf_size: int,
-              arity: int | None = None) -> WideBVH:
+              arity: int | None = None, dfs: bool = False,
+              treelet_budget: int = 0) -> WideBVH:
     """Pack (M,A,6) boxes + (M,A,2) meta + leaf slot permutation into the
     packed gather-friendly WideBVH layout (see pack_region_into for the
-    ``meta``/``order_slots`` conventions)."""
+    ``meta``/``order_slots`` conventions). ``dfs=True`` applies the
+    DFS-interleaved row order (dfs_permute_host) before upload;
+    ``treelet_budget > 0`` applies the treelet layout instead
+    (treelet_permute_host)."""
     m, a_width = boxes.shape[0], boxes.shape[1]
     arity = a_width if arity is None else arity
     assert a_width == arity
@@ -239,14 +467,32 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
     # typically far below the full-tree closed form (arity-1)*height+2
     stack_depth = lifo_stack_bound(entry) + 1
 
-    dev = jax.device_put((table, leaf_perm))  # one batched upload
+    top_rows = 0
+    top_stack = 0
+    treelet_stack = 0
+    if treelet_budget > 0:
+        (table, leaf_perm, _, top_rows, top_stack,
+         treelet_stack) = treelet_permute_host(
+            table, leaf_perm, arity, treelet_budget
+        )
+        dfs = True
+    elif dfs:
+        table, leaf_perm, _ = dfs_permute_host(table, leaf_perm, arity)
+
+    top_np = table[:top_rows].copy() if top_rows else None
+    dev = jax.device_put((table, leaf_perm, top_np))  # one batched upload
     return WideBVH(
         table=dev[0],
         leaf_perm=dev[1],
+        top_table=dev[2],
         leaf_size=leaf_size,
         arity=arity,
         packed=True,
         stack_depth=stack_depth,
+        dfs=dfs,
+        top_rows=top_rows,
+        top_stack=top_stack,
+        treelet_stack=treelet_stack,
     )
 
 
@@ -431,11 +677,13 @@ def collapse_bvh2(tris: np.ndarray, leaf_size: int, arity: int):
 
 
 def build(tris: np.ndarray, leaf_size: int = LEAF_SIZE,
-          arity: int = ARITY) -> WideBVH:
+          arity: int = ARITY, dfs: bool = False,
+          treelet_budget: int = 0) -> WideBVH:
     """Build the packed wide BVH from (T, 3, 3) triangle corners (Python
     collapse; prefer ops/bvh_native.build which uses the C++ builder)."""
     boxes, meta, order_slots = collapse_bvh2(tris, leaf_size, arity)
-    return pack_wide(boxes, meta, tris, order_slots, leaf_size, arity)
+    return pack_wide(boxes, meta, tris, order_slots, leaf_size, arity,
+                     dfs=dfs, treelet_budget=treelet_budget)
 
 
 # --------------------------------------------------------------------------

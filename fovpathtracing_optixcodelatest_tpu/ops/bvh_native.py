@@ -10,6 +10,7 @@ experimental Pallas kernels.
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
 
@@ -71,21 +72,34 @@ def collapse_native(tris: np.ndarray, leaf_size: int, arity: int):
 DEEP_LEAF_SIZE = 12
 DEEP_ARITY = 32
 DEEP_TRIS_THRESHOLD = 1_000_000
+# Treelet budget (rows) for deep tables: the traversal's gather window
+# (traverse8.WINDOW_ROWS = 8192). Bigger treelets = fewer pending entries
+# per ray (fewer serving rounds); a row-sorted chunk usually sits inside
+# one treelet = one dynamic_slice window.
+DEEP_TREELET_BUDGET = int(os.environ.get("FOVTPU_TREELET", 8192))
 
 
 def build(tris: np.ndarray, leaf_size: int | None = None,
           arity: int | None = None,
-          force_python: bool = False) -> WideBVH:
+          force_python: bool = False,
+          dfs: bool | None = None) -> WideBVH:
     """Build a packed WideBVH from (T, 3, 3) float32 corners
     (native collapse if available). ``leaf_size``/``arity`` default by
-    scene size (see DEEP_TRIS_THRESHOLD)."""
+    scene size (see DEEP_TRIS_THRESHOLD). ``dfs`` (default: on for deep
+    scenes) applies the DFS-interleaved row order the windowed HBM
+    traversal wants (bvh8.dfs_permute_host)."""
     deep = tris.shape[0] >= DEEP_TRIS_THRESHOLD
     if leaf_size is None:
         leaf_size = DEEP_LEAF_SIZE if deep else LEAF_SIZE
     if arity is None:
         arity = DEEP_ARITY if deep else ARITY
+    if dfs is None:
+        dfs = deep
+    budget = DEEP_TREELET_BUDGET if (deep and dfs) else 0
     out = None if force_python else collapse_native(tris, leaf_size, arity)
     if out is None:
-        return bvh8_py.build(tris, leaf_size, arity)
-    boxes, meta, perm = out
-    return pack_wide(boxes, meta, tris, perm, leaf_size, arity)
+        boxes, meta, perm = bvh8_py.collapse_bvh2(tris, leaf_size, arity)
+    else:
+        boxes, meta, perm = out
+    return pack_wide(boxes, meta, tris, perm, leaf_size, arity, dfs=dfs,
+                     treelet_budget=budget)

@@ -99,6 +99,53 @@ DYN_TRIP = os.environ.get("FOVTPU_DYNTRIP", "1") != "0"
 # Sublane tiling: a chunk of N rays is laid out as (8, N // 8).
 SUB = 8
 
+# Windowed HBM traversal (deep scenes): gathers from tables past
+# ~128k rows run at per-index HBM rate (~640 us per 32k-index gather vs
+# ~50 us VMEM-resident — scratch/r4_window2.py measured the dynamic_slice
+# window erasing the WHOLE penalty: 641->433 us/iter at 243k rows, 680->433
+# at 872k, index-band confinement alone does nothing). The windowed step
+# slices a WINDOW_ROWS-row band starting at the minimum active lane's row
+# (the min lane is always served => guaranteed progress), gathers relative
+# indices from the VMEM-resident band, and DEFERS out-of-window lanes by
+# re-pushing their just-popped entry. Requires the DFS-interleaved row
+# layout (bvh8.dfs_permute_host) so a lane's working set is a contiguous
+# band; results stay bit-identical (deferral only reorders pops).
+WINDOW_ROWS = int(os.environ.get("FOVTPU_WINROWS", 8192))
+# Tables below this row count gather at ~VMEM rate already (flat to 64k
+# rows, +290 us/iter first measured at 243k) — windowing would only add
+# slice+defer overhead there.
+WINDOW_MIN_ROWS = int(os.environ.get("FOVTPU_WINMIN", 200_000))
+
+
+def _use_window(bvh) -> bool:
+    """Static ELIGIBILITY for the windowed HBM step (see WINDOW_ROWS).
+    Windowing is strictly OPT-IN per call (closest_hit(window=True)): only
+    the treelet rounds sort lanes into window-affine order first, and
+    without that sort the min-base window SERIALIZES divergent lanes
+    (measured 4x worse than direct HBM gathers at 1.9M tris)."""
+    return (
+        bvh.dfs
+        and bvh.num_instances == 0
+        and bvh.num_rows > WINDOW_ROWS
+        and WINDOW_ROWS > 0
+    )
+
+
+def _window_gather(table, row, fresh):
+    """Windowed row gather: returns (gt, in_win). Lanes outside the
+    [base, base + WINDOW_ROWS) band get in_win=False and garbage planes the
+    caller must mask; ``base`` is the min row over ``fresh`` lanes."""
+    num_rows = table.shape[0]
+    rowv = jnp.where(fresh, row, jnp.int32(num_rows - 1))
+    base = jnp.min(rowv)
+    base = jnp.clip(base, 0, num_rows - WINDOW_ROWS)
+    in_win = fresh & (row - base < WINDOW_ROWS)
+    win = lax.dynamic_slice(
+        table, (base, jnp.int32(0)), (WINDOW_ROWS, table.shape[1])
+    )
+    rel = jnp.clip(row - base, 0, WINDOW_ROWS - 1)
+    return _gather_row(win, rel), in_win
+
 def _batcher_net(n: int):
     """Batcher odd-even mergesort comparator list for power-of-two n
     (19 comparators at n=8, 63 at n=16; verified by the 0/1 principle)."""
@@ -430,7 +477,64 @@ def _ch_init(bvh, o_r, inv_r, sp0, t0, tmin, tmax, depth, lowmask, himask):
     return state
 
 
-def _ch_step(bvh, rays_k, st, tmin, tmax, depth, lowmask, himask):
+def _ch_init_from_entry(bvh, sp0, e_planes, t0, depth, l):
+    """Round-start init for the treelet rounds: each active lane begins
+    from up to K provided packed stack entries (its K nearest pending
+    treelet roots, 0xFFFFFFFF = empty slot) instead of the unrolled root
+    expand.
+
+    Entries are re-ordered by ASCENDING ROW before seeding, lowest row on
+    TOP: pops then move through the table in the same low-to-high direction
+    as the min-base gather window, so the whole chunk sweeps its windows
+    ONCE instead of convoying back and forth between each lane's t-ordered
+    bands (measured: t-ordered seeding ran the rounds for ~24k lockstep
+    iterations vs ~hundreds expected at 1.9M tris). Pop order is the only
+    thing this changes — a nearer-but-later entry that goes stale is
+    drained conservatively, so results stay exact."""
+    sent = jnp.uint32(0xFFFFFFFF)
+    cb = codebits(bvh.num_rows)
+    lowmask = jnp.uint32((1 << cb) - 1)
+    d_iota = jnp.arange(depth, dtype=jnp.int32)[:, None, None]
+    act = sp0 > 0
+    # sort (row, entry) pairs ascending by row; SENT rows sort last
+    rows = [
+        jnp.where(e != sent, (e & lowmask) >> 2, jnp.uint32(0xFFFFFFFF))
+        for e in e_planes
+    ]
+    ents = list(e_planes)
+    for i, j in _batcher_net(len(ents)):
+        swap = rows[i] > rows[j]
+        ri, rj = rows[i], rows[j]
+        ei, ej = ents[i], ents[j]
+        rows[i] = jnp.where(swap, rj, ri)
+        rows[j] = jnp.where(swap, ri, rj)
+        ents[i] = jnp.where(swap, ej, ei)
+        ents[j] = jnp.where(swap, ei, ej)
+    valid = [act & (e != sent) for e in ents]
+    cnt = valid[0].astype(jnp.int32)
+    for vk in valid[1:]:
+        cnt = cnt + vk.astype(jnp.int32)
+    stack = jnp.zeros((depth, SUB, l), dtype=jnp.uint32)
+    for k, (e, vk) in enumerate(zip(ents, valid)):
+        # ascending-row entries fill top-down: entry k sits at depth
+        # cnt-1-k, so the LOWEST row pops first
+        stack = jnp.where(
+            (d_iota == (cnt - 1 - k)[None]) & vk[None], e[None], stack
+        )
+    return (
+        stack,
+        cnt,
+        t0,
+        jnp.zeros((SUB, l), dtype=jnp.float32),
+        jnp.zeros((SUB, l), dtype=jnp.float32),
+        jnp.full((SUB, l), -1, dtype=jnp.int32),
+        jnp.zeros((SUB, l), dtype=jnp.int32),  # overflow
+        jnp.zeros((SUB, l), dtype=jnp.int32),  # pops
+    )
+
+
+def _ch_step(bvh, rays_k, st, tmin, tmax, depth, lowmask, himask,
+             window=False):
     """One closest-hit iteration for ONE chunk: pop (stale-draining), gather
     the popped row, slab-expand / leaf-intersect, near-to-far push.
 
@@ -458,6 +562,8 @@ def _ch_step(bvh, rays_k, st, tmin, tmax, depth, lowmask, himask):
     row = (code >> 2).astype(jnp.int32)
     is_leaf = fresh & (kind == KIND_LEAF)
     is_node = fresh & (kind == KIND_NODE)
+    windowed = _use_window(bvh) and window
+    defer = None
     if instanced:
         is_inst = fresh & (kind == KIND_INST)
         gt = _gather_row(bvh.table, row, bvh, is_inst)
@@ -474,6 +580,14 @@ def _ch_step(bvh, rays_k, st, tmin, tmax, depth, lowmask, himask):
             jnp.where(node_world, inv_r[a], ip[a]) for a in range(3)
         ]
         o_leaf, d_leaf = op, dp
+    elif windowed:
+        gt, in_win = _window_gather(bvh.table, row, fresh)
+        defer = fresh & ~in_win
+        is_leaf = is_leaf & in_win
+        is_node = is_node & in_win
+        pops = pops - defer.astype(jnp.int32)  # deferred pop did no work
+        o_use, inv_use = o_r, inv_r
+        o_leaf, d_leaf = o_r, d_r
     else:
         gt = _gather_row(bvh.table, row)
         o_use, inv_use = o_r, inv_r
@@ -497,6 +611,12 @@ def _ch_step(bvh, rays_k, st, tmin, tmax, depth, lowmask, himask):
             is_inst, (packed & himask) | root_code, keys_c[0]
         )
         cnt = jnp.where(is_inst, 1, cnt)
+    elif defer is not None:
+        # windowed deferral: re-push the popped entry untouched; the lane
+        # waits until the window reaches its band (min-lane progress
+        # guarantees the window eventually does)
+        keys_c[0] = jnp.where(defer, packed, keys_c[0])
+        cnt = jnp.where(defer, 1, cnt)
     if depth < bvh.stack_depth:
         overflow = overflow | (sp + cnt > depth).astype(jnp.int32)
     stack, sp = _push(stack, sp, keys_c, cnt)
@@ -522,7 +642,8 @@ def _ch_step(bvh, rays_k, st, tmin, tmax, depth, lowmask, himask):
     return out
 
 
-def _closest_loop(bvh, chunks, tmin, tmax, step_limit, depth):
+def _closest_loop(bvh, chunks, tmin, tmax, step_limit, depth,
+                  window=False):
     """Closest-hit while_loop over K independent lockstep chunks
     ("streams") advanced one iteration each per loop step.
 
@@ -548,10 +669,21 @@ def _closest_loop(bvh, chunks, tmin, tmax, step_limit, depth):
 
     states = []
     rays = []
-    for o_r, d_r, inv_r, sp0, t0 in chunks:
-        st = _ch_init(
-            bvh, o_r, inv_r, sp0, t0, tmin, tmax, depth, lowmask, himask
-        )
+    from_entry = False
+    for ch in chunks:
+        o_r, d_r, inv_r, sp0, t0 = ch[:5]
+        e0 = ch[5] if len(ch) > 5 else None
+        if e0 is None:
+            st = _ch_init(
+                bvh, o_r, inv_r, sp0, t0, tmin, tmax, depth, lowmask,
+                himask,
+            )
+        else:
+            from_entry = True
+            st = _ch_init_from_entry(
+                bvh, sp0, [e0[k] for k in range(e0.shape[0])], t0, depth,
+                sp0.shape[-1],
+            )
         if instanced:
             st = st + (
                 jnp.full_like(sp0, -1),  # cur instance
@@ -561,7 +693,11 @@ def _closest_loop(bvh, chunks, tmin, tmax, step_limit, depth):
         states.append(st)
         rays.append((o_r, d_r, inv_r))
     # steps starts at 1: the unrolled root expand was iteration 1
-    state = (jnp.ones((), dtype=jnp.int32), tuple(states))
+    # (entry-seeded rounds do no root expand — start at 0)
+    state = (
+        jnp.asarray(0 if from_entry else 1, dtype=jnp.int32),
+        tuple(states),
+    )
 
     def cond(s):
         work = s[1][0][1] > 0
@@ -573,7 +709,7 @@ def _closest_loop(bvh, chunks, tmin, tmax, step_limit, depth):
         steps, sts = s
         new = tuple(
             _ch_step(bvh, rays[k], sts[k], tmin, tmax, depth, lowmask,
-                     himask)
+                     himask, window=window)
             for k in range(len(sts))
         )
         return (steps + 1, new)
@@ -681,9 +817,16 @@ def closest_hit(
     t_seed: jnp.ndarray | None = None,
     iter_cap: int | None = None,
     stack_cap: int | None = None,
+    entry0: jnp.ndarray | None = None,
+    window: bool = False,
 ):
     """Closest-hit query. Returns dict(t, tri_id, u, v, hit, pending, steps)
     of (N,) arrays — same contract as traverse.closest_hit.
+
+    ``entry0`` (N,) uint32: per-lane packed (tn|ucode) START entry — the
+    treelet round mode (closest_hit_treelet). Lanes traverse only that
+    entry's subtree (packed 0 = the root ucode = a full re-trace); the
+    unrolled root expand is skipped.
 
     ``t_seed`` (N,) optionally seeds the per-ray t-limit with a known upper
     bound on the closest hit (any t of ANY hit is valid): subtrees beyond it
@@ -732,6 +875,18 @@ def closest_hit(
         sp0,
         t0,
     )
+    if entry0 is not None:
+        if entry0.ndim == 1:
+            entry0 = entry0[:, None]
+        ek = entry0.shape[1]
+        # pad with the empty-slot sentinel so padded lanes stay inactive
+        e_pad = jnp.pad(
+            entry0, ((0, c * chunk - n0), (0, 0)),
+            constant_values=jnp.uint32(0xFFFFFFFF),
+        )
+        xs = xs + (
+            jnp.moveaxis(e_pad.reshape(c, SUB, l, ek), 3, 1),  # (C,K,8,L)
+        )
     if cpad:  # pad to a stream multiple with inactive chunks (sp0 = 0)
         xs = tuple(
             jnp.concatenate(
@@ -744,16 +899,18 @@ def closest_hit(
     instanced = bvh.num_instances > 0
 
     def step(args):
-        o_i, d_i, inv_i, sp_i, t_i = args
+        o_i, d_i, inv_i, sp_i, t_i = args[:5]
+        e_i = args[5] if len(args) > 5 else None
         res, steps = _closest_loop(
             bvh,
             [
                 ([o_i[k, a] for a in range(3)],
                  [d_i[k, a] for a in range(3)],
                  [inv_i[k, a] for a in range(3)], sp_i[k], t_i[k])
+                + (() if e_i is None else (e_i[k],))
                 for k in range(kk)
             ],
-            tmin, tmax, step_limit, depth,
+            tmin, tmax, step_limit, depth, window=window,
         )
         stk = lambda j: jnp.stack([r[j] for r in res], axis=0)  # noqa: E731
         inst_out = stk(4) if instanced else jnp.zeros((), jnp.int32)
@@ -801,6 +958,376 @@ def closest_hit(
     if bvh.num_instances > 0:
         out["inst"] = inst.reshape(-1)[:n0]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Treelet-phased deep-scene traversal (closest hit).
+#
+# Direct HBM gathers cost ~600+ us per 32k-index step once the table leaves
+# VMEM; a dynamic_slice window erases the penalty (PLAN rule 42) but naive
+# per-iteration windowing serializes divergent lanes (measured 0.16 vs 0.69
+# Mrays/s at 1.9M tris — ~11x iteration inflation). The fix is affinity
+# BEFORE lockstep: a top phase walks the tree's top rows (a static
+# VMEM-resident slice) collecting each lane's pending treelet entries; lanes
+# are then SORTED by treelet row so the windowed rounds serve whole chunks
+# from one window. Requires the treelet layout (bvh8.treelet_permute_host,
+# bvh.top_rows > 0).
+
+# Windowed treelet rounds served per closest hit before the plain-traversal
+# fallback sweep. With nearest-first serving + t-culled top re-walks, p99
+# lanes finish in <= 2 rounds on box-city-class scenes.
+TREELET_ROUNDS = int(os.environ.get("FOVTPU_TROUNDS", 2))
+# Nearest pending treelet entries collected per lane per top pass and served
+# together in one round (they seed the round's stack near-to-far).
+TREELET_K = int(os.environ.get("FOVTPU_TK", 4))
+_ESENT = jnp.uint32(0xFFFFFFFF)  # "no pending treelet" (not a valid entry)
+
+
+def _merge_sorted_asc(a_planes, b_planes, keep):
+    """Merge two ascending plane lists into one ascending list, keeping the
+    ``keep`` smallest. Batcher network on the concatenation (planes are
+    (8, L) u32; _ESENT pads empties)."""
+    merged = _sort_desc(list(a_planes) + list(b_planes))[::-1]
+    return merged[:keep]
+
+
+def _top_loop(bvh, top_tab, rays, sp0, t0, served_below, tmin, tmax,
+              max_steps, depth, k_near):
+    """Lockstep while_loop for one TOP pass: closest hit against the static
+    VMEM-resident top slice. Child codes that land PAST the slice are
+    treelet roots: they are DIVERTED at expand time into a per-lane
+    K-nearest register file (never pushed — a deferred pop would burn a
+    full lockstep iteration each, measured 576 ms/pass at 1.9M tris), with
+    entries at or below the lane's ``served_below`` watermark skipped.
+    Nearest-first serving makes the watermark exact: every entry <= it has
+    already been served by an earlier round."""
+    o_r, d_r, inv_r = rays
+    top_limit = top_tab.shape[0]
+    cb = codebits(bvh.num_rows)
+    lowmask = jnp.uint32((1 << cb) - 1)
+    himask = jnp.uint32(0xFFFFFFFF & ~((1 << cb) - 1))
+    l = sp0.shape[-1]
+
+    # init: root entry (packed 0) on each active lane's stack — no root
+    # unroll (its push would need the treelet diversion anyway)
+    d_iota = jnp.arange(depth, dtype=jnp.int32)[:, None, None]
+    act = sp0 > 0
+    st = (
+        jnp.zeros((depth, SUB, l), dtype=jnp.uint32),
+        act.astype(jnp.int32),
+        t0,
+        jnp.zeros((SUB, l), dtype=jnp.float32),
+        jnp.zeros((SUB, l), dtype=jnp.float32),
+        jnp.full((SUB, l), -1, dtype=jnp.int32),
+        jnp.zeros((SUB, l), dtype=jnp.int32),  # pops
+    ) + tuple(jnp.full((SUB, l), _ESENT) for _ in range(k_near))
+    state = (jnp.zeros((), dtype=jnp.int32), st)
+
+    def cond(s):
+        return jnp.any(s[1][1] > 0) & (s[0] < max_steps)
+
+    def body(s):
+        steps, st = s
+        stack, sp, t, u, v, best, pops = st[:7]
+        near = list(st[7:])
+        tlimit = jnp.minimum(t, tmax)
+        tlim_key = _mono_u32(tlimit) | lowmask
+        packed, sp, fresh = _pop_fresh(
+            stack, sp, tlim_key, drains=DEFAULT_DRAINS
+        )
+        code = packed & lowmask
+        kind = code & 3
+        row = (code >> 2).astype(jnp.int32)
+        is_leaf = fresh & (kind == KIND_LEAF)
+        is_node = fresh & (kind == KIND_NODE)
+        pops = pops + fresh.astype(jnp.int32)
+
+        gt = _gather_row(top_tab, jnp.clip(row, 0, top_limit - 1))
+        hits, tns, codes = _expand(
+            gt, is_node, o_r, inv_r, tmin, tlimit, bvh.arity
+        )
+        push_keys, tl_keys = [], []
+        for h, tn, c in zip(hits, tns, codes):
+            key = (_mono_u32(tn) & himask) | c
+            is_tl = h & ((c >> 2) >= jnp.uint32(top_limit))
+            push_keys.append(jnp.where(h & ~is_tl, key, jnp.uint32(0)))
+            tl_keys.append(jnp.where(
+                is_tl & (key > served_below), key, _ESENT
+            ))
+        keys_c = _sort_desc(push_keys)
+        cnt = (push_keys[0] != 0).astype(jnp.int32)
+        for pk in push_keys[1:]:
+            cnt = cnt + (pk != 0).astype(jnp.int32)
+        stack, sp = _push(stack, sp, keys_c, cnt)
+        # divert the node's nearest treelet children into the register file
+        tl_sorted = _sort_desc(tl_keys)[::-1][:k_near]
+        near = _merge_sorted_asc(near, tl_sorted, k_near)
+
+        leaf_out = _leaf_hits(
+            gt, is_leaf, o_r, d_r, tmin, tmax, False, bvh.leaf_size
+        )
+        for k, (hit_k, t_k, u_k, v_k) in enumerate(leaf_out):
+            better = hit_k & (t_k < t)
+            t = jnp.where(better, t_k, t)
+            u = jnp.where(better, u_k, u)
+            v = jnp.where(better, v_k, v)
+            tid_k = lax.bitcast_convert_type(
+                gt[9 * bvh.leaf_size + k], jnp.int32
+            )
+            best = jnp.where(better, tid_k, best)
+        return (
+            steps + 1,
+            (stack, sp, t, u, v, best, pops) + tuple(near),
+        )
+
+    steps, st = lax.while_loop(cond, body, state)
+    return st, steps
+
+
+def _top_pass(bvh, origin, direction, tmin, tmax, active, t_seed,
+              served_below, max_steps, chunk, k_near):
+    """One chunked top pass (see _top_loop). Returns dict(t, u, v, tri_id,
+    near (N, k_near) ascending, pops, steps)."""
+    n0 = origin.shape[0]
+    o_r, d_r, inv_r, sp0, t0, c, l, n0 = _batch_tiles(
+        origin, direction, active, chunk, t_seed
+    )
+    sb_t = jnp.pad(served_below, (0, c * chunk - n0)).reshape(c, SUB, l)
+    depth = max(bvh.top_stack, 4)
+    top_tab = bvh.top_table  # separate device array — see bvh8.WideBVH
+    xs = (
+        jnp.stack(o_r, axis=1),
+        jnp.stack(d_r, axis=1),
+        jnp.stack(inv_r, axis=1),
+        sp0,
+        t0,
+        sb_t,
+    )
+
+    def step(args):
+        o_i, d_i, inv_i, sp_i, t_i, sb_i = args
+        st, steps = _top_loop(
+            bvh, top_tab,
+            ([o_i[a] for a in range(3)], [d_i[a] for a in range(3)],
+             [inv_i[a] for a in range(3)]),
+            sp_i, t_i, sb_i, tmin, tmax, max_steps, depth, k_near,
+        )
+        (stack, sp, t, u, v, best, pops) = st[:7]
+        near = jnp.stack(st[7:], axis=0)  # (K, 8, L)
+        return t, u, v, best, near, pops, steps
+
+    if c == 1:
+        t, u, v, best, near, pops, steps = step(tuple(x[0] for x in xs))
+        t, u, v = t[None], u[None], v[None]
+        best, near, pops = best[None], near[None], pops[None]
+        steps_total = steps
+    elif DYN_TRIP:
+        zf = jnp.zeros((c, SUB, l), jnp.float32)
+        zi = jnp.zeros((c, SUB, l), jnp.int32)
+        init = (
+            t0, zf, zf,
+            jnp.full((c, SUB, l), -1, jnp.int32),
+            jnp.full((c, k_near, SUB, l), _ESENT, jnp.uint32),
+            zi,
+            jnp.zeros((c,), jnp.int32),
+        )
+        t, u, v, best, near, pops, steps = _chunk_map(
+            step, xs, init, _dyn_trip_count(sp0)
+        )
+        steps_total = jnp.sum(steps)
+    else:
+        t, u, v, best, near, pops, steps = jax.lax.map(step, xs)
+        steps_total = jnp.sum(steps)
+
+    near_f = jnp.moveaxis(near, 1, 3).reshape(-1, k_near)[:n0]
+    return {
+        "t": t.reshape(-1)[:n0],
+        "u": u.reshape(-1)[:n0],
+        "v": v.reshape(-1)[:n0],
+        "tri_id": best.reshape(-1)[:n0],
+        "near": near_f,
+        "pops": pops.reshape(-1)[:n0],
+        "steps": steps_total,
+    }
+
+
+def closest_hit_treelet(
+    bvh: WideBVH,
+    origin, direction, tmin, tmax,
+    active=None,
+    max_steps: int = 100_000,
+    chunk: int | None = DEFAULT_CHUNK,
+    rounds: int = TREELET_ROUNDS,
+    k_near: int = TREELET_K,
+):
+    """Deep-scene closest hit over a treelet-laid table (bvh.top_rows > 0).
+
+    Iterative K-nearest treelet serving:
+
+      repeat ``rounds`` times:
+        1. TOP pass at VMEM rate (static top slice, tiny top-only stack),
+           t-culled by the current best t; treelet child codes are diverted
+           at expand time into a per-lane K-nearest register file, skipping
+           everything at or below the served-watermark.
+        2. Lanes sort by their nearest entry's ROW (chunks then share
+           dynamic_slice gather windows — each treelet is a contiguous
+           <=budget-row band) and traverse those K subtrees in one windowed
+           pass, stack-seeded near-to-far, t-seeded with the current best.
+        3. The watermark advances to the largest entry served, so the next
+           t-culled top re-walk sees only genuinely unserved treelets.
+      finally: rare stragglers (still-pending lanes after ``rounds``)
+      finish with ONE plain direct-gather re-trace.
+
+    Results are exactly the plain traversal's (pop order is the only thing
+    that changes; tests/test_bvh.py pins bit-identity through the
+    integrator). Measured basis: direct HBM gathers ~600 us/32k-step vs
+    ~50 VMEM (PLAN rules 41-42); the row-sorted windowed round ran at 8x
+    the plain rate (4.65 vs 0.64 Mrays/s, scratch/r4_tdiag.py) while naive
+    per-iteration windowing without the affinity sort measured 4x WORSE —
+    sorting lanes by pending-subtree row BEFORE lockstep is the enabling
+    structure, and that requires pending work as sortable per-lane VALUES,
+    which is exactly what the top/treelet split produces."""
+    assert bvh.top_rows > 0 and bvh.num_instances == 0
+    assert k_near & (k_near - 1) == 0, "k_near must be a power of two"
+    n = origin.shape[0]
+    if active is None:
+        active = jnp.ones((n,), dtype=bool)
+    cb = codebits(bvh.num_rows)
+    lowmask = jnp.uint32((1 << cb) - 1)
+
+    t_cur = jnp.full((n,), jnp.inf, dtype=jnp.float32)
+    u_cur = jnp.zeros((n,), dtype=jnp.float32)
+    v_cur = jnp.zeros((n,), dtype=jnp.float32)
+    tri_cur = jnp.full((n,), -1, dtype=jnp.int32)
+    pops = jnp.zeros((n,), dtype=jnp.int32)
+    steps = jnp.zeros((), dtype=jnp.int32)
+    served_below = jnp.zeros((n,), dtype=jnp.uint32)
+    idx0 = jnp.arange(n, dtype=jnp.int32)
+
+    eff_chunk = chunk
+    if eff_chunk is None or n <= eff_chunk:
+        eff_chunk = max(((n + SUB * 128 - 1) // (SUB * 128)) * SUB * 128,
+                        SUB * 128)
+
+    live = active
+    for r in range(rounds + 1):
+        pt = _top_pass(
+            bvh, origin, direction, tmin, tmax, live, t_cur, served_below,
+            max_steps, eff_chunk, k_near,
+        )
+        better = live & (pt["tri_id"] >= 0) & (pt["t"] < t_cur)
+        t_cur = jnp.where(better, pt["t"], t_cur)
+        u_cur = jnp.where(better, pt["u"], u_cur)
+        v_cur = jnp.where(better, pt["v"], v_cur)
+        tri_cur = jnp.where(better, pt["tri_id"], tri_cur)
+        pops = pops + jnp.where(live, pt["pops"], 0)
+        steps = steps + pt["steps"]
+        near = [
+            jnp.where(live, pt["near"][:, k], _ESENT)
+            for k in range(k_near)
+        ]
+        live = live & (near[0] != _ESENT)
+        if r == rounds:
+            break  # the final top pass only decides the fallback set
+
+        # watermark: largest REAL entry being served this round
+        hi = jnp.zeros((n,), jnp.uint32)
+        for e in near:
+            hi = jnp.maximum(hi, jnp.where(e != _ESENT, e, 0))
+        served_below = jnp.where(
+            live, jnp.maximum(served_below, hi), served_below
+        )
+
+        # windowed round: sort by the nearest entry's row, traverse the K
+        # pending subtrees (stack-seeded near-to-far), unsort, merge
+        row_key = jnp.where(
+            live, ((near[0] & lowmask) >> 2).astype(jnp.int32),
+            jnp.int32(0x7FFFFFFF),
+        )
+        s = lax.sort(
+            [row_key, idx0,
+             origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2],
+             t_cur] + near,
+            num_keys=2,
+        )
+        p = closest_hit(
+            bvh,
+            jnp.stack(s[2:5], axis=1),
+            jnp.stack(s[5:8], axis=1),
+            tmin, tmax,
+            active=s[0] < jnp.int32(0x7FFFFFFF),
+            max_steps=max_steps,
+            chunk=eff_chunk,
+            t_seed=s[8],
+            entry0=jnp.stack(s[9:9 + k_near], axis=1),
+            window=True,
+            # exact bound: one treelet's walk + the other K-1 seeds parked
+            # below it — the full-tree depth (157 at 1.9M) would make every
+            # (D, 8, L) stack one-hot ~4x more expensive
+            stack_cap=(
+                bvh.treelet_stack + k_near if bvh.treelet_stack else None
+            ),
+        )
+        tri_p = jnp.where(p["hit"], p["tri_id"], -1)
+        fin = lax.sort(
+            [s[1], tri_p, p["t"], p["u"], p["v"], p["pops"]], num_keys=1
+        )
+        closer = fin[1] >= 0
+        tri_cur = jnp.where(closer, fin[1], tri_cur)
+        t_cur = jnp.where(closer, fin[2], t_cur)
+        u_cur = jnp.where(closer, fin[3], u_cur)
+        v_cur = jnp.where(closer, fin[4], v_cur)
+        pops = pops + fin[5]
+        steps = steps + p["steps"]
+
+    # fallback sweep: finish stragglers with one plain direct-gather
+    # re-trace, COMPACTED to a lane prefix first — scattered stragglers
+    # make every chunk run its lockstep max (measured 1.1 s at 7% actives
+    # vs 1.4 s for the FULL batch; two ~15 ms sorts collapse that to the
+    # few chunks that actually hold work)
+    fkey = jnp.where(live, 0, jnp.int32(1 << 30)) | idx0
+    fs = lax.sort(
+        [fkey,
+         origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2],
+         t_cur],
+        num_keys=1,
+    )
+    pf = closest_hit(
+        bvh,
+        jnp.stack(fs[1:4], axis=1),
+        jnp.stack(fs[4:7], axis=1),
+        tmin, tmax,
+        active=fs[0] < jnp.int32(1 << 30),
+        max_steps=max_steps, chunk=eff_chunk,
+        t_seed=fs[7],
+    )
+    ffin = lax.sort(
+        [fs[0] & jnp.int32((1 << 30) - 1),
+         jnp.where(pf["hit"], pf["tri_id"], -1),
+         pf["t"], pf["u"], pf["v"], pf["pops"]],
+        num_keys=1,
+    )
+    closer = live & (ffin[1] >= 0)
+    tri_cur = jnp.where(closer, ffin[1], tri_cur)
+    t_cur = jnp.where(closer, ffin[2], t_cur)
+    u_cur = jnp.where(closer, ffin[3], u_cur)
+    v_cur = jnp.where(closer, ffin[4], v_cur)
+    pops = pops + jnp.where(live, ffin[5], 0)
+    steps = steps + pf["steps"]
+
+    return {
+        "t": t_cur,
+        "u": u_cur,
+        "v": v_cur,
+        "tri_id": tri_cur,
+        "hit": tri_cur >= 0,
+        "pending": jnp.zeros((n,), dtype=bool),
+        "pops": pops,
+        "steps": steps,
+    }
+
 
 
 def occluded(
@@ -926,6 +1453,11 @@ def occluded(
                 ]
                 o_leaf, d_leaf = op, dp
             else:
+                # NOTE: no windowed branch here — occlusion rays' rows are
+                # not affinity-sorted, and the min-base window serializes
+                # divergent lanes (measured 4x worse at 1.9M tris). Deep
+                # occlusion stays on direct gathers until it gets its own
+                # treelet phases.
                 gt = _gather_row(bvh.table, row)
                 o_use, inv_use = o_t, inv_t
                 o_leaf, d_leaf = o_t, d_t

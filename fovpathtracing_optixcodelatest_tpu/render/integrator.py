@@ -146,9 +146,16 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     # (shallow uniform pops) just pay its sorts — gate on the STATIC table
     # size (measured: +51% on a 733-row scene, -13% on a 190-row one)
     staged = config.traversal_phase1_cap > 0 and scene.bvh.num_rows > 512
+    # treelet-laid deep tables get the phased windowed traversal (its top
+    # phase + row-sorted rounds replace two-phase staging entirely)
+    treelet = scene.bvh.top_rows > 0 and not scene.bvh.instanced
     cap = config.traversal_phase1_cap if iter_cap is None else iter_cap
     if not config.compact_bounces:
-        if staged:
+        if treelet:
+            out = traverse8.closest_hit_treelet(
+                scene.bvh, o, d, config.tmin, config.tmax, active=alive
+            )
+        elif staged:
             out = traverse8.closest_hit_staged(
                 scene.bvh, o, d, config.tmin, config.tmax, active=alive,
                 phase1_cap=cap,
@@ -169,8 +176,12 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
         [ikey, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2]],
         num_keys=1,
     )
-    if not staged:
-        hit = traverse8.closest_hit(
+    if not staged or treelet:
+        fn = (
+            traverse8.closest_hit_treelet if treelet
+            else traverse8.closest_hit
+        )
+        hit = fn(
             scene.bvh,
             jnp.stack(s[1:4], axis=1),
             jnp.stack(s[4:7], axis=1),
@@ -257,9 +268,14 @@ def _closest_fused(scene, o_s, d_s, skey, config, iter_cap=None):
     slim = not scene.bvh.instanced
     alive_s = skey < _GDEAD
     staged = config.traversal_phase1_cap > 0 and scene.bvh.num_rows > 512
+    treelet = scene.bvh.top_rows > 0 and not scene.bvh.instanced
     cap = config.traversal_phase1_cap if iter_cap is None else iter_cap
-    if not staged:
-        hitq = traverse8.closest_hit(
+    if not staged or treelet:
+        fn = (
+            traverse8.closest_hit_treelet if treelet
+            else traverse8.closest_hit
+        )
+        hitq = fn(
             scene.bvh, o_s, d_s, config.tmin, config.tmax, active=alive_s
         )
         tri_or_miss = jnp.where(hitq["hit"], hitq["tri_id"], -1)

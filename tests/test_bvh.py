@@ -225,3 +225,217 @@ def test_narrow_leaf_build_parity():
         np.asarray(got["t"])[hit_ref], np.asarray(ref["t"])[hit_ref],
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_dfs_interleaved_build_parity():
+    """DFS-interleaved row order (the deep-scene windowed-traversal layout,
+    bvh8.dfs_permute_host) is a pure row permutation: closest-hit and
+    occlusion results must be BIT-IDENTICAL to the default node-rows-first
+    layout, and the oracle parity must hold."""
+    from fovpathtracing_optixcodelatest_tpu.ops import bvh_native, traverse8
+
+    geom, tris = _scene(seed=13)
+    wb0 = bvh_native.build(tris, leaf_size=6, arity=16, dfs=False)
+    wb1 = bvh_native.build(tris, leaf_size=6, arity=16, dfs=True)
+    assert wb1.dfs and not wb0.dfs
+    assert wb1.table.shape == wb0.table.shape
+    # same rows as a SET (permutation, nothing dropped/duplicated) up to the
+    # child-code rewrite; leaf rows are untouched by the rewrite
+    t0 = np.asarray(wb0.table)
+    t1 = np.asarray(wb1.table)
+    assert not np.array_equal(t0, t1)  # actually permuted
+    o, d = _rand_rays(4096, seed=5)
+    h0 = jax.jit(lambda o, d: traverse8.closest_hit(wb0, o, d, 0.01, 1e16))(o, d)
+    h1 = jax.jit(lambda o, d: traverse8.closest_hit(wb1, o, d, 0.01, 1e16))(o, d)
+    for k in ("hit", "t", "tri", "u", "v"):
+        if k in h0:
+            np.testing.assert_array_equal(
+                np.asarray(h0[k]), np.asarray(h1[k]), err_msg=k
+            )
+    ref = jax.jit(
+        lambda o, d: brute_force_closest_hit(geom, o, d, 0.01, 1e16)
+    )(o, d)
+    np.testing.assert_array_equal(
+        np.asarray(h1["hit"]), np.asarray(ref["hit"])
+    )
+    occ0 = np.asarray(traverse8.occluded(wb0, o, d, 0.01, 1e16))
+    occ1 = np.asarray(traverse8.occluded(wb1, o, d, 0.01, 1e16))
+    np.testing.assert_array_equal(occ0, occ1)
+
+
+def test_dfs_permute_row_structure():
+    """After dfs_permute_host every internal subtree occupies a CONTIGUOUS
+    row range — the invariant the windowed traversal relies on."""
+    from fovpathtracing_optixcodelatest_tpu.ops import bvh8, bvh_native
+
+    _geom, tris = _scene(seed=17)
+    wb = bvh_native.build(tris, leaf_size=6, arity=16, dfs=True)
+    table = np.asarray(wb.table)
+    a = wb.arity
+    codes = table[:, 3 * a : 4 * a].view(np.int32)
+
+    def subtree_range(row):
+        lo = hi = row
+        stack = [row]
+        while stack:
+            r = stack.pop()
+            lo, hi = min(lo, r), max(hi, r)
+            for c in codes[r]:
+                if c == bvh8.EMPTY:
+                    continue
+                if (c & 3) == bvh8.KIND_NODE:
+                    stack.append(c >> 2)
+                elif (c & 3) == bvh8.KIND_LEAF:
+                    r2 = c >> 2
+                    lo, hi = min(lo, r2), max(hi, r2)
+        return lo, hi
+
+    def subtree_size(row):
+        n = 1
+        for c in codes[row]:
+            if c == bvh8.EMPTY:
+                continue
+            if (c & 3) == bvh8.KIND_NODE:
+                n += subtree_size(c >> 2)
+            elif (c & 3) == bvh8.KIND_LEAF:
+                n += 1
+        return n
+
+    # root spans the whole reachable prefix, and each level-1 child subtree
+    # is contiguous: span == size
+    for c in codes[0]:
+        if c != bvh8.EMPTY and (c & 3) == bvh8.KIND_NODE:
+            lo, hi = subtree_range(c >> 2)
+            assert hi - lo + 1 == subtree_size(c >> 2), (lo, hi)
+
+
+def test_windowed_traversal_bit_identical(monkeypatch):
+    """The deep-scene windowed step (dynamic_slice band + out-of-window
+    deferral, OPT-IN via closest_hit(window=True)) must return BIT-IDENTICAL
+    results to the plain gather path. Window constants are shrunk so a small
+    test tree spans many windows and deferral really triggers."""
+    from fovpathtracing_optixcodelatest_tpu.ops import bvh_native, traverse8
+
+    geom, tris = _scene(seed=19)
+    wb = bvh_native.build(tris, leaf_size=6, arity=16, dfs=True)
+    assert wb.num_rows > 64
+    o, d = _rand_rays(4096, seed=9)
+
+    ref_ch = jax.jit(
+        lambda o, d: traverse8.closest_hit(wb, o, d, 0.01, 1e16)
+    )(o, d)
+
+    monkeypatch.setattr(traverse8, "WINDOW_ROWS", 64)
+    assert traverse8._use_window(wb)
+    # window=False (the default) never windows, even on an eligible table
+    got_plain = jax.jit(
+        lambda o, d: traverse8.closest_hit(wb, o, d, 0.01, 1e16)
+    )(o, d)
+    assert int(got_plain["steps"]) == int(ref_ch["steps"])
+    got_ch = jax.jit(
+        lambda o, d: traverse8.closest_hit(
+            wb, o, d, 0.01, 1e16, window=True
+        )
+    )(o, d)
+    for k in ("hit", "t", "tri_id", "u", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(got_ch[k]), np.asarray(ref_ch[k]), err_msg=k
+        )
+    # the windowed run really deferred (more iterations than the plain run)
+    assert int(got_ch["steps"]) > int(ref_ch["steps"])
+
+
+def test_treelet_phased_closest_hit_exact(monkeypatch):
+    """closest_hit_treelet (top phase + row-sorted windowed rounds) must
+    return EXACTLY the plain traversal's results. A small tree is forced
+    into the treelet layout with a tiny budget, window constants shrunk so
+    the rounds really window, and slot overflow really triggers the
+    full-re-trace fallback."""
+    from fovpathtracing_optixcodelatest_tpu.ops import bvh8, traverse8
+
+    _geom, tris = _scene(seed=23)
+    wb_plain = bvh8.build(tris, leaf_size=4, arity=8)
+    wb = bvh8.build(tris, leaf_size=4, arity=8, treelet_budget=16)
+    assert wb.top_rows > 0, "treelet split must engage"
+    assert wb.num_rows == wb_plain.num_rows
+
+    # treelet contiguity: every pending-root subtree spans <= budget rows
+    table = np.asarray(wb.table)
+    codes = table[:, 3 * wb.arity : 4 * wb.arity].view(np.int32)
+
+    o, d = _rand_rays(4096, seed=11)
+    ref = jax.jit(
+        lambda o, d: traverse8.closest_hit(wb_plain, o, d, 0.01, 1e16)
+    )(o, d)
+
+    monkeypatch.setattr(traverse8, "WINDOW_MIN_ROWS", 1)
+    monkeypatch.setattr(traverse8, "WINDOW_ROWS", 32)
+    got = jax.jit(
+        lambda o, d: traverse8.closest_hit_treelet(wb, o, d, 0.01, 1e16)
+    )(o, d)
+    hit_ref = np.asarray(ref["hit"])
+    np.testing.assert_array_equal(np.asarray(got["hit"]), hit_ref)
+    np.testing.assert_array_equal(
+        np.asarray(got["tri_id"]), np.asarray(ref["tri_id"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["t"])[hit_ref], np.asarray(ref["t"])[hit_ref]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["u"])[hit_ref], np.asarray(ref["u"])[hit_ref]
+    )
+    assert not np.asarray(got["pending"]).any()
+
+    # active masking: inactive lanes report miss
+    act = jnp.asarray(np.arange(4096) % 3 == 0)
+    got_m = jax.jit(
+        lambda o, d, a: traverse8.closest_hit_treelet(
+            wb, o, d, 0.01, 1e16, active=a
+        )
+    )(o, d, act)
+    gm = np.asarray(got_m["tri_id"])
+    np.testing.assert_array_equal(
+        gm[np.asarray(act)], np.asarray(ref["tri_id"])[np.asarray(act)]
+    )
+    assert (gm[~np.asarray(act)] == -1).all()
+
+
+def test_treelet_scene_render_bit_identical(monkeypatch):
+    """A frame rendered through the integrator's treelet branch (deep-scene
+    routing, scene.bvh.top_rows > 0) is BIT-IDENTICAL to the default staged
+    path — the whole closest-hit contract survives the phased traversal."""
+    import dataclasses
+
+    from fovpathtracing_optixcodelatest_tpu.config import (
+        FoveationSchedule,
+        RenderConfig,
+    )
+    from fovpathtracing_optixcodelatest_tpu.models import scenes
+    from fovpathtracing_optixcodelatest_tpu.models.mesh import host_triangles
+    from fovpathtracing_optixcodelatest_tpu.models.probe import constant_probe
+    from fovpathtracing_optixcodelatest_tpu.models.scene import build_scene
+    from fovpathtracing_optixcodelatest_tpu.ops import bvh8, traverse8
+    from fovpathtracing_optixcodelatest_tpu.render.renderer import Renderer
+
+    monkeypatch.setattr(traverse8, "WINDOW_MIN_ROWS", 1)
+    monkeypatch.setattr(traverse8, "WINDOW_ROWS", 64)
+
+    meshes, cam = scenes.box_city(n=3, seed=2)
+    config = RenderConfig(width=48, height=32, max_depth=3)
+    schedule = FoveationSchedule.uniform(spp=2)
+    probe = constant_probe((1.5, 1.5, 1.5))
+
+    r0 = Renderer(meshes=meshes, config=config, schedule=schedule,
+                  probe=probe)
+    r0.set_camera(dataclasses.replace(cam, aspect=48 / 32))
+    f0 = r0.render()
+
+    tris = host_triangles(meshes)
+    twb = bvh8.build(tris, leaf_size=r0.scene.bvh.leaf_size,
+                     arity=r0.scene.bvh.arity, treelet_budget=24)
+    assert twb.top_rows > 0
+    scene_t = dataclasses.replace(r0.scene, bvh=twb)
+    r1 = Renderer(scene=scene_t, config=config, schedule=schedule)
+    r1.set_camera(dataclasses.replace(cam, aspect=48 / 32))
+    f1 = r1.render()
+    np.testing.assert_array_equal(f0, f1)
