@@ -1344,6 +1344,8 @@ def occluded(
     iter_cap: int | None = None,
     return_pending: bool = False,
     return_pops: bool = False,
+    entry0: jnp.ndarray | None = None,
+    window: bool = False,
 ):
     """Any-hit occlusion with first-hit termination. Back-face culling
     defaults on (the PT_sv5_ occlusion ray flag, deviceProgram.cu:237); the
@@ -1378,10 +1380,41 @@ def occluded(
     instanced = bvh.num_instances > 0
 
     def loop(chunks):
-        # chunks: list over streams of (o_t, d_t, inv_t, sp_init); same
-        # stream interleaving as _closest_loop (independent gathers overlap)
+        # chunks: list over streams of (o_t, d_t, inv_t, sp_init[, e0]);
+        # same stream interleaving as _closest_loop
         root_gt = [bvh.table[0, i] for i in range(4 * bvh.arity)]
-        rays = [(o, d, iv) for o, d, iv, _ in chunks]
+        rays = [(ch[0], ch[1], ch[2]) for ch in chunks]
+
+        def init_from_entries(sp_init, e0):
+            # treelet round: seed the stack with up to K raw-code entries,
+            # ASCENDING (code order == row order — lowest row pops first,
+            # matching the min-base window sweep); 0xFFFFFFFF = empty
+            sent = jnp.uint32(0xFFFFFFFF)
+            d_iota0 = jnp.arange(depth, dtype=jnp.int32)[:, None, None]
+            act0 = sp_init > 0
+            ents = [e0[k] for k in range(e0.shape[0])]
+            for i, j in _batcher_net(len(ents)):
+                swap = ents[i] > ents[j]
+                ei, ej = ents[i], ents[j]
+                ents[i] = jnp.where(swap, ej, ei)
+                ents[j] = jnp.where(swap, ei, ej)
+            valid = [act0 & (e != sent) for e in ents]
+            cnt0 = valid[0].astype(jnp.int32)
+            for vk in valid[1:]:
+                cnt0 = cnt0 + vk.astype(jnp.int32)
+            stack0 = jnp.zeros((depth, SUB, l), dtype=jnp.uint32)
+            for k, (e, vk) in enumerate(zip(ents, valid)):
+                stack0 = jnp.where(
+                    (d_iota0 == (cnt0 - 1 - k)[None]) & vk[None],
+                    e[None], stack0,
+                )
+            return (
+                stack0,
+                cnt0,
+                jnp.zeros((SUB, l), dtype=bool),  # occ
+                jnp.zeros((SUB, l), dtype=jnp.int32),  # overflowed
+                jnp.zeros((SUB, l), dtype=jnp.int32),  # pops
+            )
 
         def init_one(o_t, inv_t, sp_init):
             # iteration 0 unrolled: root expand from a static table[0]
@@ -1411,8 +1444,12 @@ def occluded(
             )
 
         states = []
-        for o_t, d_t, inv_t, sp_init in chunks:
-            st = init_one(o_t, inv_t, sp_init)
+        for ch in chunks:
+            o_t, d_t, inv_t, sp_init = ch[:4]
+            if len(ch) > 4:
+                st = init_from_entries(sp_init, ch[4])
+            else:
+                st = init_one(o_t, inv_t, sp_init)
             if instanced:
                 st = st + (tuple(o_t), tuple(d_t), tuple(inv_t))
             states.append(st)
@@ -1436,6 +1473,7 @@ def occluded(
             row = (entry >> 2).astype(jnp.int32)
             is_node = has & (kind == KIND_NODE)
             is_leaf = has & (kind == KIND_LEAF)
+            defer = None
             if instanced:
                 is_inst = has & (kind == KIND_INST)
                 gt = _gather_row(bvh.table, row, bvh, is_inst)
@@ -1452,12 +1490,17 @@ def occluded(
                     jnp.where(node_world, inv_t[a], ip[a]) for a in range(3)
                 ]
                 o_leaf, d_leaf = op, dp
+            elif _use_window(bvh) and window:
+                # OPT-IN windowed gather: only the treelet rounds sort
+                # lanes into window-affine order first (occluded_treelet)
+                gt, in_win = _window_gather(bvh.table, row, has)
+                defer = has & ~in_win
+                is_leaf = is_leaf & in_win
+                is_node = is_node & in_win
+                pops = pops - defer.astype(jnp.int32)
+                o_use, inv_use = o_t, inv_t
+                o_leaf, d_leaf = o_t, d_t
             else:
-                # NOTE: no windowed branch here — occlusion rays' rows are
-                # not affinity-sorted, and the min-base window serializes
-                # divergent lanes (measured 4x worse at 1.9M tris). Deep
-                # occlusion stays on direct gathers until it gets its own
-                # treelet phases.
                 gt = _gather_row(bvh.table, row)
                 o_use, inv_use = o_t, inv_t
                 o_leaf, d_leaf = o_t, d_t
@@ -1478,6 +1521,11 @@ def occluded(
                 root_code = lax.bitcast_convert_type(gt[0], jnp.uint32)
                 entries_c[0] = jnp.where(is_inst, root_code, entries_c[0])
                 cnt = jnp.where(is_inst, 1, cnt)
+            elif defer is not None:
+                # deferred out-of-window pop: re-push untouched, wait for
+                # the window sweep to reach its band
+                entries_c[0] = jnp.where(defer, entry, entries_c[0])
+                cnt = jnp.where(defer, 1, cnt)
             if depth < bvh.stack_depth:
                 overflow = overflow | (sp + cnt > depth).astype(jnp.int32)
             stack, sp = _push(stack, sp, entries_c, cnt)
@@ -1519,6 +1567,17 @@ def occluded(
         jnp.stack(inv_r, axis=1),
         sp0,
     )
+    if entry0 is not None:
+        if entry0.ndim == 1:
+            entry0 = entry0[:, None]
+        ek = entry0.shape[1]
+        e_pad = jnp.pad(
+            entry0, ((0, c * chunk - n0), (0, 0)),
+            constant_values=jnp.uint32(0xFFFFFFFF),
+        )
+        xs = xs + (
+            jnp.moveaxis(e_pad.reshape(c, SUB, l, ek), 3, 1),
+        )
     if cpad:  # pad to a stream multiple with inactive chunks (sp0 = 0)
         xs = tuple(
             jnp.concatenate(
@@ -1530,10 +1589,12 @@ def occluded(
     xs = tuple(x.reshape((c2, kk) + x.shape[1:]) for x in xs)
 
     def step(args):
-        o_i, d_i, inv_i, sp_i = args
+        o_i, d_i, inv_i, sp_i = args[:4]
+        e_i = args[4] if len(args) > 4 else None
         res = loop([
             ([o_i[k, a] for a in range(3)], [d_i[k, a] for a in range(3)],
              [inv_i[k, a] for a in range(3)], sp_i[k])
+            + (() if e_i is None else (e_i[k],))
             for k in range(kk)
         ])
         return (
@@ -1557,3 +1618,233 @@ def occluded(
     if return_pending:
         return occ_out, pend.reshape(-1)[:n0] > 0
     return occ_out
+
+
+def _occ_top_loop(bvh, top_tab, rays, sp0, served_below, tmin, tmax,
+                  cull_backface, max_steps, depth, k_near):
+    """Occlusion twin of _top_loop: any-hit walk of the VMEM-resident top
+    slice, diverting treelet child codes (raw ucodes — the occlusion stack
+    carries no tn) into a per-lane K-minimum register file above the
+    served-watermark. Code order == row order, so 'K smallest codes' are
+    also the most window-affine to serve together."""
+    o_r, d_r, inv_r = rays
+    top_limit = top_tab.shape[0]
+    l = sp0.shape[-1]
+    st = (
+        jnp.zeros((depth, SUB, l), dtype=jnp.uint32),  # root code 0 on top
+        (sp0 > 0).astype(jnp.int32),
+        jnp.zeros((SUB, l), dtype=bool),  # occ
+        jnp.zeros((SUB, l), dtype=jnp.int32),  # pops
+    ) + tuple(jnp.full((SUB, l), _ESENT) for _ in range(k_near))
+    state = (jnp.zeros((), dtype=jnp.int32), st)
+
+    def cond(s):
+        return jnp.any(s[1][1] > 0) & (s[0] < max_steps)
+
+    def body(s):
+        steps, st = s
+        stack, sp, occ, pops = st[:4]
+        near = list(st[4:])
+        sp = jnp.where(occ, 0, sp)
+        entry, sp, has = _pop(stack, sp)
+        pops = pops + has.astype(jnp.int32)
+        kind = entry & 3
+        row = (entry >> 2).astype(jnp.int32)
+        is_node = has & (kind == KIND_NODE)
+        is_leaf = has & (kind == KIND_LEAF)
+
+        gt = _gather_row(top_tab, jnp.clip(row, 0, top_limit - 1))
+        tlim = jnp.full((SUB, l), tmax, dtype=jnp.float32)
+        hits, _tns, codes = _expand(
+            gt, is_node, o_r, inv_r, tmin, tlim, bvh.arity
+        )
+        push_keys, tl_keys = [], []
+        for h, c in zip(hits, codes):
+            is_tl = h & ((c >> 2) >= jnp.uint32(top_limit))
+            push_keys.append(jnp.where(h & ~is_tl, c, jnp.uint32(0)))
+            tl_keys.append(jnp.where(
+                is_tl & (c > served_below), c, _ESENT
+            ))
+        entries_c = _sort_desc(push_keys)
+        cnt = (push_keys[0] != 0).astype(jnp.int32)
+        for pk in push_keys[1:]:
+            cnt = cnt + (pk != 0).astype(jnp.int32)
+        stack, sp = _push(stack, sp, entries_c, cnt)
+        tl_sorted = _sort_desc(tl_keys)[::-1][:k_near]
+        near = _merge_sorted_asc(near, tl_sorted, k_near)
+
+        leaf_out = _leaf_hits(
+            gt, is_leaf, o_r, d_r, tmin, tmax, cull_backface,
+            bvh.leaf_size
+        )
+        for hit_k, _t, _u, _v in leaf_out:
+            occ = occ | hit_k
+        return (steps + 1, (stack, sp, occ, pops) + tuple(near))
+
+    steps, st = lax.while_loop(cond, body, state)
+    return st, steps
+
+
+def _occ_top_pass(bvh, origin, direction, tmin, tmax, active, served_below,
+                  cull_backface, max_steps, chunk, k_near):
+    """One chunked occlusion top pass. Returns dict(occ, near (N, k_near)
+    ascending, pops, steps)."""
+    n0 = origin.shape[0]
+    o_r, d_r, inv_r, sp0, _t0, c, l, n0 = _batch_tiles(
+        origin, direction, active, chunk
+    )
+    sb_t = jnp.pad(served_below, (0, c * chunk - n0)).reshape(c, SUB, l)
+    depth = max(bvh.top_stack, 4)
+    top_tab = bvh.top_table
+    xs = (
+        jnp.stack(o_r, axis=1),
+        jnp.stack(d_r, axis=1),
+        jnp.stack(inv_r, axis=1),
+        sp0,
+        sb_t,
+    )
+
+    def step(args):
+        o_i, d_i, inv_i, sp_i, sb_i = args
+        st, steps = _occ_top_loop(
+            bvh, top_tab,
+            ([o_i[a] for a in range(3)], [d_i[a] for a in range(3)],
+             [inv_i[a] for a in range(3)]),
+            sp_i, sb_i, tmin, tmax, cull_backface, max_steps, depth,
+            k_near,
+        )
+        (stack, sp, occ, pops) = st[:4]
+        near = jnp.stack(st[4:], axis=0)
+        return occ.astype(jnp.int32), near, pops, steps
+
+    if c == 1:
+        occ, near, pops, steps = step(tuple(x[0] for x in xs))
+        occ, near, pops = occ[None], near[None], pops[None]
+        steps_total = steps
+    elif DYN_TRIP:
+        zi = jnp.zeros((c, SUB, l), jnp.int32)
+        init = (
+            zi,
+            jnp.full((c, k_near, SUB, l), _ESENT, jnp.uint32),
+            zi,
+            jnp.zeros((c,), jnp.int32),
+        )
+        occ, near, pops, steps = _chunk_map(
+            step, xs, init, _dyn_trip_count(sp0)
+        )
+        steps_total = jnp.sum(steps)
+    else:
+        occ, near, pops, steps = jax.lax.map(step, xs)
+        steps_total = jnp.sum(steps)
+
+    return {
+        "occ": occ.reshape(-1)[:n0] > 0,
+        "near": jnp.moveaxis(near, 1, 3).reshape(-1, k_near)[:n0],
+        "pops": pops.reshape(-1)[:n0],
+        "steps": steps_total,
+    }
+
+
+def occluded_treelet(
+    bvh: WideBVH,
+    origin, direction, tmin, tmax,
+    active=None,
+    max_steps: int = 100_000,
+    chunk: int | None = DEFAULT_CHUNK,
+    cull_backface: bool = True,
+    rounds: int = TREELET_ROUNDS,
+    k_near: int = TREELET_K,
+):
+    """Deep-scene any-hit occlusion over a treelet-laid table — the
+    occlusion twin of closest_hit_treelet (same top/round/watermark
+    structure; occluded lanes simply drop out of later phases). Returns
+    (N,) bool, exactly equal to occluded()."""
+    assert bvh.top_rows > 0 and bvh.num_instances == 0
+    assert k_near & (k_near - 1) == 0, "k_near must be a power of two"
+    n = origin.shape[0]
+    if active is None:
+        active = jnp.ones((n,), dtype=bool)
+    cb = codebits(bvh.num_rows)
+    lowmask = jnp.uint32((1 << cb) - 1)
+
+    occ = jnp.zeros((n,), dtype=bool)
+    served_below = jnp.zeros((n,), dtype=jnp.uint32)
+    idx0 = jnp.arange(n, dtype=jnp.int32)
+    eff_chunk = chunk
+    if eff_chunk is None or n <= eff_chunk:
+        eff_chunk = max(((n + SUB * 128 - 1) // (SUB * 128)) * SUB * 128,
+                        SUB * 128)
+
+    live = active
+    for r in range(rounds + 1):
+        pt = _occ_top_pass(
+            bvh, origin, direction, tmin, tmax, live, served_below,
+            cull_backface, max_steps, eff_chunk, k_near,
+        )
+        occ = occ | (live & pt["occ"])
+        near = [
+            jnp.where(live & ~occ, pt["near"][:, k], _ESENT)
+            for k in range(k_near)
+        ]
+        live = live & ~occ & (near[0] != _ESENT)
+        if r == rounds:
+            break
+
+        hi = jnp.zeros((n,), jnp.uint32)
+        for e in near:
+            hi = jnp.maximum(hi, jnp.where(e != _ESENT, e, 0))
+        served_below = jnp.where(
+            live, jnp.maximum(served_below, hi), served_below
+        )
+
+        row_key = jnp.where(
+            live, ((near[0] & lowmask) >> 2).astype(jnp.int32),
+            jnp.int32(0x7FFFFFFF),
+        )
+        s = lax.sort(
+            [row_key, idx0,
+             origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2]] + near,
+            num_keys=2,
+        )
+        occ_r = occluded(
+            bvh,
+            jnp.stack(s[2:5], axis=1),
+            jnp.stack(s[5:8], axis=1),
+            tmin, tmax,
+            active=s[0] < jnp.int32(0x7FFFFFFF),
+            max_steps=max_steps,
+            chunk=eff_chunk,
+            cull_backface=cull_backface,
+            entry0=jnp.stack(s[8:8 + k_near], axis=1),
+            window=True,
+            stack_cap=(
+                bvh.treelet_stack + k_near if bvh.treelet_stack else None
+            ),
+        )
+        fin = lax.sort([s[1], occ_r.astype(jnp.int32)], num_keys=1)
+        occ = occ | (live & (fin[1] > 0))
+        live = live & ~occ
+
+    # compacted plain fallback for the rare still-pending lanes
+    fkey = jnp.where(live, 0, jnp.int32(1 << 30)) | idx0
+    fs = lax.sort(
+        [fkey,
+         origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2]],
+        num_keys=1,
+    )
+    occ_f = occluded(
+        bvh,
+        jnp.stack(fs[1:4], axis=1),
+        jnp.stack(fs[4:7], axis=1),
+        tmin, tmax,
+        active=fs[0] < jnp.int32(1 << 30),
+        max_steps=max_steps, chunk=eff_chunk,
+        cull_backface=cull_backface,
+    )
+    ffin = lax.sort(
+        [fs[0] & jnp.int32((1 << 30) - 1), occ_f.astype(jnp.int32)],
+        num_keys=1,
+    )
+    return occ | (live & (ffin[1] > 0))

@@ -371,8 +371,13 @@ def _occluded_compacted(scene, p, wi, query, config):
         return intersect.brute_force_occluded(
             scene.geom, p, wi, config.tmin, config.tmax
         ) & query
+    occl_fn = (
+        traverse8.occluded_treelet
+        if scene.bvh.top_rows > 0 and not scene.bvh.instanced
+        else traverse8.occluded
+    )
     if not config.compact_bounces:
-        return traverse8.occluded(
+        return occl_fn(
             scene.bvh, p, wi, config.tmin, config.tmax, active=query
         )
     ikey = jnp.where(query, 0, _DEAD) | jnp.arange(n, dtype=jnp.int32)
@@ -380,7 +385,7 @@ def _occluded_compacted(scene, p, wi, query, config):
         [ikey, p[:, 0], p[:, 1], p[:, 2], wi[:, 0], wi[:, 1], wi[:, 2]],
         num_keys=1,
     )
-    occ_s = traverse8.occluded(
+    occ_s = occl_fn(
         scene.bvh,
         jnp.stack(s[1:4], axis=1),
         jnp.stack(s[4:7], axis=1),
@@ -728,7 +733,12 @@ def trace_paths(
                  wi[:, 0], wi[:, 1], wi[:, 2]],
                 num_keys=1,
             )
-            occ_s = traverse8.occluded(
+            occl_fn = (
+                traverse8.occluded_treelet
+                if scene.bvh.top_rows > 0 and not scene.bvh.instanced
+                else traverse8.occluded
+            )
+            occ_s = occl_fn(
                 scene.bvh,
                 jnp.stack(es[1:4], axis=1),
                 jnp.stack(es[7:10], axis=1),

@@ -439,3 +439,38 @@ def test_treelet_scene_render_bit_identical(monkeypatch):
     r1.set_camera(dataclasses.replace(cam, aspect=48 / 32))
     f1 = r1.render()
     np.testing.assert_array_equal(f0, f1)
+
+
+def test_treelet_occlusion_exact(monkeypatch):
+    """occluded_treelet (occlusion twin of the phased traversal) must equal
+    occluded() exactly, windows shrunk so rounds really window."""
+    from fovpathtracing_optixcodelatest_tpu.ops import bvh8, traverse8
+
+    _geom, tris = _scene(seed=29)
+    wb_plain = bvh8.build(tris, leaf_size=4, arity=8)
+    wb = bvh8.build(tris, leaf_size=4, arity=8, treelet_budget=16)
+    assert wb.top_rows > 0 and wb.treelet_stack > 0
+    o, d = _rand_rays(4096, seed=13)
+    ref = np.asarray(
+        jax.jit(lambda o, d: traverse8.occluded(wb_plain, o, d, 0.01, 1e16))(
+            o, d
+        )
+    )
+    monkeypatch.setattr(traverse8, "WINDOW_ROWS", 32)
+    got = np.asarray(
+        jax.jit(
+            lambda o, d: traverse8.occluded_treelet(wb, o, d, 0.01, 1e16)
+        )(o, d)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+    act = jnp.asarray(np.arange(4096) % 4 == 0)
+    got_m = np.asarray(
+        jax.jit(
+            lambda o, d, a: traverse8.occluded_treelet(
+                wb, o, d, 0.01, 1e16, active=a
+            )
+        )(o, d, act)
+    )
+    np.testing.assert_array_equal(got_m[np.asarray(act)], ref[np.asarray(act)])
+    assert not got_m[~np.asarray(act)].any()
