@@ -228,6 +228,61 @@ def main() -> None:
     except Exception as e:  # the headline metric must survive a deep failure
         print(f"deep-scene bench failed: {e}", file=sys.stderr)
 
+    # San-Miguel-class datapoint: 10M triangles (the reference's flagship
+    # scene scale — `1e+07` tag, PT_sv4_vmv2/data/sponza_fov_32_2_1.tsv:1).
+    # 1.34M-row / 686 MB BVH table + 1.9 GB tri_pack — the true HBM regime.
+    giant = {}
+    try:
+        t0 = time.perf_counter()
+        meshes_g, cam_g = scenes.box_city_fast(n=913, seed=0)
+        scene_g = build_scene(meshes_g, probe=gradient_sky_probe())
+        build_g = time.perf_counter() - t0
+        print(
+            f"10M scene: {scene_g.num_triangles} tris, "
+            f"bvh {scene_g.bvh.num_rows} rows "
+            f"({scene_g.bvh.table.size * 4 / 1e6:.0f} MB), "
+            f"build {build_g:.2f}s",
+            file=sys.stderr,
+        )
+        camp_g = dataclasses.replace(
+            cam_g, aspect=width / height
+        ).device_params()
+        canvas_g = film.new_canvas(width, height, pad)
+        t0 = time.perf_counter()
+        canvas_g, frame_g, stats_g = render_frame(
+            scene_g, camp_g, gx, gy, jnp.asarray(0, jnp.int32), canvas_g,
+            key, config, schedule,
+        )
+        _ = np.asarray(frame_g)
+        print(
+            f"10M compile+first frame: {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        n_g = 2
+        t0 = time.perf_counter()
+        traces_g = jnp.zeros((), jnp.int32)
+        for i in range(n_g):
+            canvas_g, frame_g, stats_g = render_frame(
+                scene_g, camp_g, gx, gy, jnp.asarray(i + 1, jnp.int32),
+                canvas_g, jax.random.fold_in(key, 400 + i), config,
+                schedule,
+            )
+            traces_g = traces_g + stats_g["traces"]
+        traces_g = int(traces_g)
+        dt_g = time.perf_counter() - t0
+        giant = {
+            "tris_10m": int(scene_g.num_triangles),
+            "mrays_10m": round(traces_g / dt_g / 1e6, 2),
+            "build_s_10m": round(build_g, 1),
+        }
+        print(
+            f"10M: {n_g} frames in {dt_g:.2f}s -> "
+            f"{n_g / dt_g:.3f} fps, {giant['mrays_10m']} Mrays/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # headline must survive a 10M failure
+        print(f"10M-scene bench failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -238,6 +293,7 @@ def main() -> None:
                 "cache_entries_at_start": cache_entries,
                 **textured,
                 **deep,
+                **giant,
             }
         )
     )

@@ -980,6 +980,28 @@ TREELET_ROUNDS = int(os.environ.get("FOVTPU_TROUNDS", 2))
 # Nearest pending treelet entries collected per lane per top pass and served
 # together in one round (they seed the round's stack near-to-far).
 TREELET_K = int(os.environ.get("FOVTPU_TK", 4))
+# Route deep OCCLUSION through the treelet phases? Occlusion has no t-cull,
+# so an un-occluded ray must serve EVERY crossed treelet — the phased walk
+# only pays when early-exit hits dominate (measured: helps nowhere yet;
+# 10M frame 0.23 -> 0.15 Mrays/s WITH it, 1.9M 0.77 -> 0.72). Default off.
+OCCL_TREELET = os.environ.get("FOVTPU_OCCT", "0") != "0"
+# Closest-hit treelet routing wins in the mid-deep band (238k rows: frame
+# 0.66 -> 0.77 Mrays/s, raw closest 0.75 -> 1.12) but LOSES at 1.34M rows
+# (10M tris: 0.28 plain vs 0.23 r2/k4, 0.17 r6/k8 — fanout quantization
+# makes treelets ~1.3k rows, rays cross tens of them, and rounds+fallback
+# overhead exceeds the windowed-gather saving). Route treelet only below
+# this row count; beyond it the plain direct-gather path is the best
+# measured configuration.
+TREELET_MAX_ROWS = int(os.environ.get("FOVTPU_TMAXROWS", 600_000))
+
+
+def use_treelet(bvh) -> bool:
+    """Static routing decision for the phased treelet closest hit."""
+    return (
+        bvh.top_rows > 0
+        and bvh.num_instances == 0
+        and bvh.num_rows <= TREELET_MAX_ROWS
+    )
 _ESENT = jnp.uint32(0xFFFFFFFF)  # "no pending treelet" (not a valid entry)
 
 

@@ -147,8 +147,9 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     # size (measured: +51% on a 733-row scene, -13% on a 190-row one)
     staged = config.traversal_phase1_cap > 0 and scene.bvh.num_rows > 512
     # treelet-laid deep tables get the phased windowed traversal (its top
-    # phase + row-sorted rounds replace two-phase staging entirely)
-    treelet = scene.bvh.top_rows > 0 and not scene.bvh.instanced
+    # phase + row-sorted rounds replace two-phase staging entirely) — in
+    # the measured win band only (traverse8.TREELET_MAX_ROWS)
+    treelet = traverse8.use_treelet(scene.bvh)
     cap = config.traversal_phase1_cap if iter_cap is None else iter_cap
     if not config.compact_bounces:
         if treelet:
@@ -268,7 +269,7 @@ def _closest_fused(scene, o_s, d_s, skey, config, iter_cap=None):
     slim = not scene.bvh.instanced
     alive_s = skey < _GDEAD
     staged = config.traversal_phase1_cap > 0 and scene.bvh.num_rows > 512
-    treelet = scene.bvh.top_rows > 0 and not scene.bvh.instanced
+    treelet = traverse8.use_treelet(scene.bvh)
     cap = config.traversal_phase1_cap if iter_cap is None else iter_cap
     if not staged or treelet:
         fn = (
@@ -373,7 +374,7 @@ def _occluded_compacted(scene, p, wi, query, config):
         ) & query
     occl_fn = (
         traverse8.occluded_treelet
-        if scene.bvh.top_rows > 0 and not scene.bvh.instanced
+        if traverse8.use_treelet(scene.bvh) and traverse8.OCCL_TREELET
         else traverse8.occluded
     )
     if not config.compact_bounces:
@@ -735,7 +736,8 @@ def trace_paths(
             )
             occl_fn = (
                 traverse8.occluded_treelet
-                if scene.bvh.top_rows > 0 and not scene.bvh.instanced
+                if (traverse8.use_treelet(scene.bvh)
+                    and traverse8.OCCL_TREELET)
                 else traverse8.occluded
             )
             occ_s = occl_fn(
