@@ -111,10 +111,6 @@ SUB = 8
 # layout (bvh8.dfs_permute_host) so a lane's working set is a contiguous
 # band; results stay bit-identical (deferral only reorders pops).
 WINDOW_ROWS = int(os.environ.get("FOVTPU_WINROWS", 8192))
-# Tables below this row count gather at ~VMEM rate already (flat to 64k
-# rows, +290 us/iter first measured at 243k) — windowing would only add
-# slice+defer overhead there.
-WINDOW_MIN_ROWS = int(os.environ.get("FOVTPU_WINMIN", 200_000))
 
 
 def _use_window(bvh) -> bool:
@@ -423,15 +419,6 @@ def _apply_inv_transform(gt, o_r, d_r):
         for c in dp
     ]
     return op, dp, ip
-
-
-def pop_key_bits(n: int) -> int:
-    """How many pop-count bits fit in a composite i32 sort key above an
-    ``n``-lane position field (one bit reserved for the dead flag at 1<<30).
-    The temporal pop-sorting keys (render/integrator.py) clip the previous
-    frame's per-lane pop counts to this many bits."""
-    posbits = max(1, (n - 1).bit_length())
-    return max(0, 30 - posbits)
 
 
 def _ch_init(bvh, o_r, inv_r, sp0, t0, tmin, tmax, depth, lowmask, himask):
@@ -1202,7 +1189,13 @@ def closest_hit_treelet(
 
     Results are exactly the plain traversal's (pop order is the only thing
     that changes; tests/test_bvh.py pins bit-identity through the
-    integrator). Measured basis: direct HBM gathers ~600 us/32k-step vs
+    integrator). Caveat: best-hit updates use a STRICT t_k < t compare, so
+    a ray hitting two triangles at the identical f32 t (a shared-edge
+    grazing hit) reports whichever leaf its pop order visits first — the
+    phased pop order can then pick a different tri_id (hence different u/v)
+    than the plain path. The bit-identity contract assumes no exact f32
+    t-ties, which holds for the jittered ray sets the tests and renderer
+    produce. Measured basis: direct HBM gathers ~600 us/32k-step vs
     ~50 VMEM (PLAN rules 41-42); the row-sorted windowed round ran at 8x
     the plain rate (4.65 vs 0.64 Mrays/s, scratch/r4_tdiag.py) while naive
     per-iteration windowing without the affinity sort measured 4x WORSE —
@@ -1224,6 +1217,11 @@ def closest_hit_treelet(
     pops = jnp.zeros((n,), dtype=jnp.int32)
     steps = jnp.zeros((), dtype=jnp.int32)
     served_below = jnp.zeros((n,), dtype=jnp.uint32)
+    # Lanes whose windowed round hit max_steps mid-treelet: the watermark
+    # still advances past their unfinished subtrees, so they must join the
+    # plain fallback re-trace (which starts from the root) or the miss is
+    # silent.
+    need_fb = jnp.zeros((n,), dtype=bool)
     idx0 = jnp.arange(n, dtype=jnp.int32)
 
     eff_chunk = chunk
@@ -1293,7 +1291,9 @@ def closest_hit_treelet(
         )
         tri_p = jnp.where(p["hit"], p["tri_id"], -1)
         fin = lax.sort(
-            [s[1], tri_p, p["t"], p["u"], p["v"], p["pops"]], num_keys=1
+            [s[1], tri_p, p["t"], p["u"], p["v"], p["pops"],
+             p["pending"].astype(jnp.int32)],
+            num_keys=1,
         )
         closer = fin[1] >= 0
         tri_cur = jnp.where(closer, fin[1], tri_cur)
@@ -1301,6 +1301,7 @@ def closest_hit_treelet(
         u_cur = jnp.where(closer, fin[3], u_cur)
         v_cur = jnp.where(closer, fin[4], v_cur)
         pops = pops + fin[5]
+        need_fb = need_fb | (fin[6] > 0)
         steps = steps + p["steps"]
 
     # fallback sweep: finish stragglers with one plain direct-gather
@@ -1308,7 +1309,8 @@ def closest_hit_treelet(
     # make every chunk run its lockstep max (measured 1.1 s at 7% actives
     # vs 1.4 s for the FULL batch; two ~15 ms sorts collapse that to the
     # few chunks that actually hold work)
-    fkey = jnp.where(live, 0, jnp.int32(1 << 30)) | idx0
+    fb_set = live | need_fb
+    fkey = jnp.where(fb_set, 0, jnp.int32(1 << 30)) | idx0
     fs = lax.sort(
         [fkey,
          origin[:, 0], origin[:, 1], origin[:, 2],
@@ -1328,15 +1330,16 @@ def closest_hit_treelet(
     ffin = lax.sort(
         [fs[0] & jnp.int32((1 << 30) - 1),
          jnp.where(pf["hit"], pf["tri_id"], -1),
-         pf["t"], pf["u"], pf["v"], pf["pops"]],
+         pf["t"], pf["u"], pf["v"], pf["pops"],
+         pf["pending"].astype(jnp.int32)],
         num_keys=1,
     )
-    closer = live & (ffin[1] >= 0)
+    closer = fb_set & (ffin[1] >= 0)
     tri_cur = jnp.where(closer, ffin[1], tri_cur)
     t_cur = jnp.where(closer, ffin[2], t_cur)
     u_cur = jnp.where(closer, ffin[3], u_cur)
     v_cur = jnp.where(closer, ffin[4], v_cur)
-    pops = pops + jnp.where(live, ffin[5], 0)
+    pops = pops + jnp.where(fb_set, ffin[5], 0)
     steps = steps + pf["steps"]
 
     return {
@@ -1345,7 +1348,7 @@ def closest_hit_treelet(
         "v": v_cur,
         "tri_id": tri_cur,
         "hit": tri_cur >= 0,
-        "pending": jnp.zeros((n,), dtype=bool),
+        "pending": fb_set & (ffin[6] > 0),
         "pops": pops,
         "steps": steps,
     }
@@ -1791,6 +1794,10 @@ def occluded_treelet(
 
     occ = jnp.zeros((n,), dtype=bool)
     served_below = jnp.zeros((n,), dtype=jnp.uint32)
+    # see closest_hit_treelet: round lanes cut off at max_steps must join
+    # the plain fallback re-trace (the watermark already skipped their
+    # unfinished subtrees)
+    need_fb = jnp.zeros((n,), dtype=bool)
     idx0 = jnp.arange(n, dtype=jnp.int32)
     eff_chunk = chunk
     if eff_chunk is None or n <= eff_chunk:
@@ -1829,7 +1836,7 @@ def occluded_treelet(
              direction[:, 0], direction[:, 1], direction[:, 2]] + near,
             num_keys=2,
         )
-        occ_r = occluded(
+        occ_r, pend_r = occluded(
             bvh,
             jnp.stack(s[2:5], axis=1),
             jnp.stack(s[5:8], axis=1),
@@ -1843,12 +1850,18 @@ def occluded_treelet(
             stack_cap=(
                 bvh.treelet_stack + k_near if bvh.treelet_stack else None
             ),
+            return_pending=True,
         )
-        fin = lax.sort([s[1], occ_r.astype(jnp.int32)], num_keys=1)
+        fin = lax.sort(
+            [s[1], occ_r.astype(jnp.int32), pend_r.astype(jnp.int32)],
+            num_keys=1,
+        )
         occ = occ | (live & (fin[1] > 0))
+        need_fb = need_fb | (live & ~occ & (fin[2] > 0))
         live = live & ~occ
 
     # compacted plain fallback for the rare still-pending lanes
+    live = live | (need_fb & ~occ)
     fkey = jnp.where(live, 0, jnp.int32(1 << 30)) | idx0
     fs = lax.sort(
         [fkey,

@@ -47,6 +47,7 @@ catcher-free scenes compile and pay nothing for it.
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax
@@ -250,6 +251,22 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     return out
 
 
+# Staged OCCLUSION (round-5 experiment, mirroring closest-hit's two-phase
+# staging): phase 1 runs iter-capped on a truncated stack; un-occluded lanes
+# still pending at the cap re-trace from the root in phase 2. The round-3
+# falsified variant truncated only the STACK (no iteration cap) — the occl
+# cost driver is the lockstep iteration count, which only a cap touches.
+# Mode 0 = off (single full walk), 1 = in-place phase 2 (no sorts; DYN_TRIP
+# skips pending-free chunks), 2 = compacted phase 2 (+7-op/+2-op sorts).
+OCCL_STAGE = int(os.environ.get("FOVTPU_OCCSTAGE", "0"))
+OCCL_CAP = int(os.environ.get("FOVTPU_OCCCAP", "8"))
+OCCL_STACK = int(os.environ.get("FOVTPU_OCCSTACK", "16"))
+# Phase-1 closest-hit chunk override (0 = traverse8.DEFAULT_CHUNK). Dense
+# prefix-compacted phase-1 lanes amortize the gather's fixed cost at 64k
+# (1.6x cost for 2x indices) without the occl/p2 idle-lane dilution that
+# falsified a GLOBAL 64k chunk (PLAN rule 26).
+P1_CHUNK = int(os.environ.get("FOVTPU_P1CHUNK", "0")) or None
+
 # fused-bounce sort-key layout: group << 28 | frame position (group 0 =
 # occlusion-active, 1 = alive without occlusion, 2 = dead). occl_query is a
 # subset of next-bounce alive (the sample_ok gate guarantees it on
@@ -292,7 +309,7 @@ def _closest_fused(scene, o_s, d_s, skey, config, iter_cap=None):
         return out
     p1 = traverse8.closest_hit(
         scene.bvh, o_s, d_s, config.tmin, config.tmax, active=alive_s,
-        iter_cap=cap, stack_cap=16,
+        iter_cap=cap, stack_cap=16, chunk=P1_CHUNK or traverse8.DEFAULT_CHUNK,
     )
     pend = p1["pending"] & alive_s
     tri1 = jnp.where(p1["hit"], p1["tri_id"], -1)
@@ -740,13 +757,47 @@ def trace_paths(
                     and traverse8.OCCL_TREELET)
                 else traverse8.occluded
             )
-            occ_s = occl_fn(
-                scene.bvh,
-                jnp.stack(es[1:4], axis=1),
-                jnp.stack(es[7:10], axis=1),
-                config.tmin, config.tmax,
-                active=es[0] < (1 << 28),
-            )
+            o_occ = jnp.stack(es[1:4], axis=1)
+            d_occ = jnp.stack(es[7:10], axis=1)
+            act_occ = es[0] < (1 << 28)
+            if OCCL_STAGE and occl_fn is traverse8.occluded:
+                occ1, pend1 = traverse8.occluded(
+                    scene.bvh, o_occ, d_occ, config.tmin, config.tmax,
+                    active=act_occ, iter_cap=OCCL_CAP,
+                    stack_cap=OCCL_STACK, return_pending=True,
+                )
+                need2 = pend1 & ~occ1 & act_occ
+                if OCCL_STAGE == 1:
+                    occ2 = traverse8.occluded(
+                        scene.bvh, o_occ, d_occ,
+                        config.tmin, config.tmax, active=need2,
+                    )
+                    occ_s = occ1 | occ2
+                else:
+                    k2 = jnp.where(need2, 0, _DEAD) | jnp.arange(
+                        n, dtype=jnp.int32
+                    )
+                    s2o = lax.sort(
+                        [k2, es[1], es[2], es[3], es[7], es[8], es[9]],
+                        num_keys=1,
+                    )
+                    occ2 = traverse8.occluded(
+                        scene.bvh,
+                        jnp.stack(s2o[1:4], axis=1),
+                        jnp.stack(s2o[4:7], axis=1),
+                        config.tmin, config.tmax,
+                        active=s2o[0] < _DEAD,
+                    )
+                    u2 = lax.sort(
+                        [s2o[0] & (_DEAD - 1), occ2.astype(jnp.int32)],
+                        num_keys=1,
+                    )
+                    occ_s = occ1 | (u2[1] > 0)
+            else:
+                occ_s = occl_fn(
+                    scene.bvh, o_occ, d_occ,
+                    config.tmin, config.tmax, active=act_occ,
+                )
             occu = lax.sort(
                 [es[0] & _GMASK, occ_s.astype(jnp.int32)], num_keys=1
             )

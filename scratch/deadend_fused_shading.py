@@ -49,7 +49,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fovpathtracing_optixcodelatest_tpu.ops import shading_core as sc
+# demoted to scratch/ in round 5 (negative result, PLAN.md rule 32); the
+# plane-wise math body moved with it
+import importlib.util as _ilu
+import os as _os
+
+_spec = _ilu.spec_from_file_location(
+    "deadend_shading_core",
+    _os.path.join(_os.path.dirname(__file__), "deadend_shading_core.py"),
+)
+sc = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(sc)
 
 BLK = 64  # block rows: 64*128 = 8192 lanes/block, ~3 MB in + 1 MB out
 

@@ -368,7 +368,6 @@ def test_treelet_phased_closest_hit_exact(monkeypatch):
         lambda o, d: traverse8.closest_hit(wb_plain, o, d, 0.01, 1e16)
     )(o, d)
 
-    monkeypatch.setattr(traverse8, "WINDOW_MIN_ROWS", 1)
     monkeypatch.setattr(traverse8, "WINDOW_ROWS", 32)
     got = jax.jit(
         lambda o, d: traverse8.closest_hit_treelet(wb, o, d, 0.01, 1e16)
@@ -417,7 +416,6 @@ def test_treelet_scene_render_bit_identical(monkeypatch):
     from fovpathtracing_optixcodelatest_tpu.ops import bvh8, traverse8
     from fovpathtracing_optixcodelatest_tpu.render.renderer import Renderer
 
-    monkeypatch.setattr(traverse8, "WINDOW_MIN_ROWS", 1)
     monkeypatch.setattr(traverse8, "WINDOW_ROWS", 64)
 
     meshes, cam = scenes.box_city(n=3, seed=2)
