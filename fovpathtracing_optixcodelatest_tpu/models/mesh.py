@@ -180,10 +180,23 @@ class SceneGeometry:
     # lets the integrator compile out the texel-gather stage entirely for
     # untextured scenes (and take the fused-shading kernel path)
     has_textures: bool = True
+    # static: the unpacked per-corner arrays above are (1, *) placeholders —
+    # large scenes carry ONLY tri_pack on device (the path-tracing hot path
+    # reads nothing else; ~108 B/tri saved, 1.1 GB at 10M tris). The oracle
+    # intersector and the simple raycaster require slim=False.
+    slim: bool = False
+    # static: inside a shard_map whose mesh axis this names, tri_pack is a
+    # LOCAL row block (global rows [d*R, (d+1)*R)) of a pack_shard_n-way
+    # row split; the integrator's shading gathers become a ppermute ring
+    # over the blocks (parallel/scene_shard.py — per-device tri table
+    # memory = 1/D; indices are device-varying so a masked psum would mix
+    # chips' lookups).
+    pack_shard_axis: str | None = None
+    pack_shard_n: int = 0
 
     @property
     def num_triangles(self) -> int:
-        return self.tri_v0.shape[0]
+        return self.tri_pack.shape[0]
 
     def geometric_normal(self, tri_ids: jnp.ndarray) -> jnp.ndarray:
         """normalize(cross(e1, e2)) — the CH program's N_0
@@ -201,17 +214,30 @@ jax.tree_util.register_dataclass(
     data_fields=[
         f.name
         for f in dataclasses.fields(SceneGeometry)
-        if f.name != "has_textures"
+        if f.name not in (
+            "has_textures", "slim", "pack_shard_axis", "pack_shard_n"
+        )
     ],
-    meta_fields=["has_textures"],
+    meta_fields=["has_textures", "slim", "pack_shard_axis", "pack_shard_n"],
 )
 
+# Scenes at or past this triangle count keep only tri_pack on device (the
+# wavefront integrator's one shading gather); matches the deep-scene packing
+# threshold (ops/bvh_native.DEEP_TRIS_THRESHOLD).
+SLIM_TRIS_THRESHOLD = 1_000_000
 
-def flatten_meshes(meshes: Sequence[HostMesh]) -> tuple[SceneGeometry, MaterialTable]:
+
+def flatten_meshes(
+    meshes: Sequence[HostMesh], slim: bool | None = None
+) -> tuple[SceneGeometry, MaterialTable]:
     """Concatenate meshes into global SoA arrays + build the material table.
 
     Mirrors what buildAccel + buildSBT accomplish together: one geometry pool,
     per-triangle attribution (SimplePathtracer.cpp:602-746, :534-599).
+
+    ``slim`` (default: auto at SLIM_TRIS_THRESHOLD) uploads ONLY tri_pack;
+    the unpacked per-corner arrays become (1, *) placeholders (see
+    SceneGeometry.slim).
     """
     v0s, e1s, e2s = [], [], []
     n0s, n1s, n2s = [], [], []
@@ -284,23 +310,41 @@ def flatten_meshes(meshes: Sequence[HostMesh]) -> tuple[SceneGeometry, MaterialT
     tri_pack[:, 39:42] = e1_all
     tri_pack[:, 42:45] = e2_all
 
+    if slim is None:
+        slim = t_count >= SLIM_TRIS_THRESHOLD
+    if slim:
+        z3 = np.zeros((1, 3), np.float32)
+        z2p = np.zeros((1, 2), np.float32)
+        unpacked = dict(
+            tri_v0=z3, tri_e1=z3, tri_e2=z3,
+            tri_n0=z3, tri_n1=z3, tri_n2=z3,
+            tri_uv0=z2p, tri_uv1=z2p, tri_uv2=z2p,
+            tri_material=np.zeros(1, np.int32),
+            tri_texture=np.zeros(1, np.int32),
+            has_shading_normals=np.zeros(1, bool),
+        )
+    else:
+        unpacked = dict(
+            tri_v0=v0_all,
+            tri_e1=e1_all,
+            tri_e2=e2_all,
+            tri_n0=np.concatenate(n0s),
+            tri_n1=np.concatenate(n1s),
+            tri_n2=np.concatenate(n2s),
+            tri_uv0=uv0_all,
+            tri_uv1=uv1_all,
+            tri_uv2=uv2_all,
+            tri_material=mat_all,
+            tri_texture=tex_all,
+            has_shading_normals=np.concatenate(has_ns),
+        )
     # One device_put for the whole geometry (separate per-array uploads cost
     # a tunnel round trip each; the batched pytree put is ~10x cheaper).
-    geom = SceneGeometry(**jax.device_put(dict(
-        tri_v0=v0_all,
-        tri_e1=e1_all,
-        tri_e2=e2_all,
-        tri_n0=np.concatenate(n0s),
-        tri_n1=np.concatenate(n1s),
-        tri_n2=np.concatenate(n2s),
-        tri_uv0=uv0_all,
-        tri_uv1=uv1_all,
-        tri_uv2=uv2_all,
-        tri_material=mat_all,
-        tri_texture=tex_all,
-        has_shading_normals=np.concatenate(has_ns),
-        tri_pack=tri_pack,
-    )), has_textures=bool((tex_all >= 0).any()))
+    geom = SceneGeometry(
+        **jax.device_put(dict(tri_pack=tri_pack, **unpacked)),
+        has_textures=bool((tex_all >= 0).any()),
+        slim=slim,
+    )
     table = MaterialTable.from_materials(materials)
     return geom, table
 

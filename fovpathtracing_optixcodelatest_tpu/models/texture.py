@@ -19,12 +19,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+import os
+
+# Pre-duplicated 2x2 quad rows cost 4x the texel memory; past this many
+# padded texels (~192 MB of quad rows at 4M) fall back to the 4-tap path.
+QUAD_MAX_TEXELS = int(os.environ.get("FOVTPU_TEXQUAD_MAX", 1 << 22))
+
+
 @dataclasses.dataclass(frozen=True)
 class TextureArray:
-    """K textures padded to a common (H, W); sizes carries true dims."""
+    """K textures padded to a common (H, W); sizes carries true dims.
+
+    ``quad`` (built by default, size-capped): row (k*H + y)*W + x packs the
+    2x2 wrap-addressed bilinear footprint [c00, c10, c01, c11] as 12 f32
+    columns, so a batch bilinear fetch is ONE row gather instead of four
+    element-rate 1-D gathers (row gathers are width-flat on TPU — the same
+    pack-lookups-into-rows rule as tri_pack/probe.sample_rows; the 4-tap
+    path measured ~36 ms/bounce at 1.5M lanes, ~26% of the textured
+    frame)."""
 
     data: jnp.ndarray  # (K, H, W, 3) float32, linear [0,1]
     sizes: jnp.ndarray  # (K, 2) int32 — (width, height) per texture
+    quad: jnp.ndarray | None = None  # (K*H*W, 12) f32, see above
 
     @property
     def num_textures(self) -> int:
@@ -32,7 +48,7 @@ class TextureArray:
 
 
 jax.tree_util.register_dataclass(
-    TextureArray, data_fields=["data", "sizes"], meta_fields=[]
+    TextureArray, data_fields=["data", "sizes", "quad"], meta_fields=[]
 )
 
 
@@ -51,7 +67,23 @@ def build_texture_array(images: Sequence[np.ndarray]) -> TextureArray:
         h, w = im.shape[:2]
         data[i, :h, :w, :] = im[..., :3]
         sizes[i] = (w, h)
-    return TextureArray(data=jnp.asarray(data), sizes=jnp.asarray(sizes))
+    quad = None
+    if k * max_h * max_w <= QUAD_MAX_TEXELS:
+        quad = np.zeros((k, max_h, max_w, 12), dtype=np.float32)
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            t = im[..., :3].astype(np.float32)
+            xr = np.roll(t, -1, axis=1)  # (y, (x+1) % w)
+            yr = np.roll(t, -1, axis=0)
+            xyr = np.roll(xr, -1, axis=0)
+            quad[i, :h, :w, 0:3] = t
+            quad[i, :h, :w, 3:6] = xr
+            quad[i, :h, :w, 6:9] = yr
+            quad[i, :h, :w, 9:12] = xyr
+        quad = jnp.asarray(quad.reshape(-1, 12))
+    return TextureArray(
+        data=jnp.asarray(data), sizes=jnp.asarray(sizes), quad=quad
+    )
 
 
 def sample_bilinear_wrap(tex: TextureArray, tex_ids: jnp.ndarray, uv: jnp.ndarray):
@@ -82,18 +114,28 @@ def sample_bilinear_wrap(tex: TextureArray, tex_ids: jnp.ndarray, uv: jnp.ndarra
     y0i = wrap(y0.astype(jnp.int32), hi)
     y1i = wrap(y0.astype(jnp.int32) + 1, hi)
 
-    flat = tex.data.reshape(-1, 3)
     kh = tex.data.shape[1]
     kw = tex.data.shape[2]
 
-    def fetch(yy, xx):
-        lin = (ids * kh + yy) * kw + xx
-        return jnp.take(flat, lin, axis=0)
+    if tex.quad is not None:
+        # ONE width-flat row gather: the quad row at (y0, x0) already holds
+        # all four wrap-addressed taps (same texel values as the 4-tap path
+        # below — identical lerp inputs, identical result bits)
+        lin = (ids * kh + y0i) * kw + x0i
+        q = jnp.take(tex.quad, lin, axis=0)  # (N, 12)
+        c00, c10 = q[:, 0:3], q[:, 3:6]
+        c01, c11 = q[:, 6:9], q[:, 9:12]
+    else:
+        flat = tex.data.reshape(-1, 3)
 
-    c00 = fetch(y0i, x0i)
-    c10 = fetch(y0i, x1i)
-    c01 = fetch(y1i, x0i)
-    c11 = fetch(y1i, x1i)
+        def fetch(yy, xx):
+            lin = (ids * kh + yy) * kw + xx
+            return jnp.take(flat, lin, axis=0)
+
+        c00 = fetch(y0i, x0i)
+        c10 = fetch(y0i, x1i)
+        c01 = fetch(y1i, x0i)
+        c11 = fetch(y1i, x1i)
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy

@@ -298,6 +298,129 @@ def dfs_permute_host(table: np.ndarray, leaf_perm: np.ndarray,
     return new_table, new_leaf_perm, perm
 
 
+_EMPTY_BOX_PAIR = np.uint32(0x7F80FF80)  # bf16 pair (lo=+inf, hi=-inf)
+
+
+def group_small_siblings_host(
+    table: np.ndarray, leaf_perm: np.ndarray, arity: int, budget: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge runs of SMALL sibling subtrees under new synthetic group nodes
+    so every treelet approaches ``budget`` rows regardless of scene scale.
+
+    Why: subtree row spans quantize by ~arity between levels (at 1.34M rows
+    / arity 32 the natural treelets are ~1.3k rows), so rays cross tens of
+    treelets and the K-nearest phased serving loses to plain gathers (PLAN
+    rule 47). Grouping consecutive small siblings (combined span + 1 <=
+    budget) under one new interior node makes each group ONE treelet entry
+    (~budget rows, window-sized) at the cost of one extra pop per crossed
+    group.
+
+    Hit results are unchanged: the group node's box is the exact bf16 union
+    of its members' conservative boxes, members keep their bit-identical
+    rows, and `_expand` masks EMPTY codes — only pop order and (documented)
+    equal-t tie resolution can differ. Returns (table2, leaf_perm2) with
+    the group rows APPENDED (row ids >= the old row count); run
+    treelet_permute_host on the result to lay it out.
+    """
+    u = table.shape[0]
+    codes_all = table[:, 3 * arity : 4 * arity].view(np.int32)
+
+    kids: dict[int, np.ndarray] = {}  # node row -> child codes (non-empty)
+    order_found: list[int] = []
+    stack = [0]
+    seen = np.zeros(u, dtype=bool)
+    seen[0] = True
+    while stack:
+        r = stack.pop()
+        order_found.append(r)
+        c = codes_all[r]
+        nz = c[c != EMPTY]
+        kids[r] = nz
+        for code in nz[::-1]:
+            if (code & 3) == KIND_NODE:
+                k = int(code) >> 2
+                if not seen[k]:
+                    seen[k] = True
+                    stack.append(k)
+
+    span = np.zeros(u, dtype=np.int64)
+    for r in reversed(order_found):
+        n_leaf = sum(1 for c in kids[r] if (c & 3) == KIND_LEAF)
+        n_sub = sum(
+            int(span[c >> 2]) for c in kids[r] if (c & 3) == KIND_NODE
+        )
+        span[r] = 1 + n_leaf + n_sub
+
+    if span[0] <= budget:
+        return table, leaf_perm
+
+    # group pass over every TOP node (span > budget): greedy first-fit over
+    # slot order; groups need >= 2 members to pay for their extra row
+    new_rows: list[np.ndarray] = []  # full-width f32 rows
+    for r in order_found:
+        if span[r] <= budget:
+            continue
+        row_codes = codes_all[r]
+        small = [
+            s for s in range(arity)
+            if row_codes[s] != EMPTY
+            and (row_codes[s] & 3) == KIND_NODE
+            and span[row_codes[s] >> 2] <= budget
+        ]
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        cur_span = 1  # the group row itself
+        for s in small:
+            sp = int(span[row_codes[s] >> 2])
+            if cur and (cur_span + sp > budget or len(cur) == arity):
+                groups.append(cur)
+                cur, cur_span = [], 1
+            cur.append(s)
+            cur_span += sp
+        if cur:
+            groups.append(cur)
+        for g in groups:
+            if len(g) < 2:
+                continue
+            grow = np.zeros((table.shape[1],), dtype=np.float32)
+            gu = grow[: 4 * arity].view(np.uint32)
+            gu[: 3 * arity] = _EMPTY_BOX_PAIR
+            lo_u = np.full(3, np.uint32(0x7F800000))  # +inf
+            hi_u = np.full(3, np.uint32(0xFF800000))  # -inf
+            tu = table[r, : 4 * arity].view(np.uint32)
+            for j, s in enumerate(g):
+                for a in range(3):
+                    p = tu[3 * s + a]
+                    mlo = p & np.uint32(0xFFFF0000)
+                    mhi = p << np.uint32(16)
+                    if mlo.view(np.float32) < lo_u[a].view(np.float32):
+                        lo_u[a] = mlo
+                    if mhi.view(np.float32) > hi_u[a].view(np.float32):
+                        hi_u[a] = mhi
+                    gu[3 * j + a] = p
+                gu[3 * arity + j] = tu[3 * arity + s]
+            # parent: first member slot becomes the group node; the group
+            # box is the exact bf16 union (still conservative)
+            s0 = g[0]
+            new_id = u + len(new_rows)
+            for a in range(3):
+                tu[3 * s0 + a] = (lo_u[a] & np.uint32(0xFFFF0000)) | (
+                    hi_u[a] >> np.uint32(16)
+                )
+            codes_all[r, s0] = np.int32((new_id << 2) | KIND_NODE)
+            for s in g[1:]:
+                codes_all[r, s] = EMPTY
+                for a in range(3):
+                    tu[3 * s + a] = _EMPTY_BOX_PAIR
+            new_rows.append(grow)
+
+    if not new_rows:
+        return table, leaf_perm
+    table2 = np.vstack([table, np.stack(new_rows, axis=0)])
+    pad = np.full((len(new_rows), leaf_perm.shape[1]), -1, dtype=np.int32)
+    return table2, np.vstack([leaf_perm, pad])
+
+
 def treelet_permute_host(
     table: np.ndarray, leaf_perm: np.ndarray, arity: int, budget: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
@@ -317,9 +440,12 @@ def treelet_permute_host(
 
     Same bit-exactness argument as dfs_permute_host (pure row permutation +
     child-code rewrite). Returns (table, leaf_perm, perm, top_rows,
-    top_stack, treelet_stack) — top_stack is the exact worst-case stack
-    occupancy of a top-only walk (treelet children diverted, not pushed);
-    treelet_stack the max occupancy of any single treelet subtree walk."""
+    top_stack, treelet_stack, full_stack) — top_stack is the exact
+    worst-case stack occupancy of a top-only walk (treelet children
+    diverted, not pushed); treelet_stack the max occupancy of any single
+    treelet subtree walk; full_stack the exact whole-tree bound (needed by
+    the plain-traversal fallback — group_small_siblings_host may have
+    changed the topology since pack_region_into's bound was computed)."""
     u = table.shape[0]
     codes_all = table[:, 3 * arity : 4 * arity].view(np.int32)
 
@@ -350,9 +476,17 @@ def treelet_permute_host(
     for r in reversed(order_found):
         span[r] = 1 + len(kids_leaf[r]) + int(span[kids_node[r]].sum())
 
+    # exact whole-tree LIFO bound on THIS topology (see lifo_stack_bound)
+    gf: dict[int, int] = {}
+    for r in reversed(order_found):
+        c = len(kids_node[r]) + len(kids_leaf[r])
+        sub = max([gf[int(k)] for k in kids_node[r]], default=0)
+        gf[r] = c - 1 + max(1, sub)
+    full_stack = max(1, gf.get(0, 1))
+
     if span[0] <= budget:  # tiny tree: no top/bottom split to make
         nt, nl, perm = dfs_permute_host(table, leaf_perm, arity)
-        return nt, nl, perm, 0, 0, 0
+        return nt, nl, perm, 0, 0, 0, full_stack
 
     # pass 3: top DFS — assign top rows, collect treelet roots in encounter
     # order; then each treelet DFS-interleaved
@@ -433,7 +567,7 @@ def treelet_permute_host(
         [gt[r] for r in treelet_roots], default=1
     ) + 1
     return (new_table, new_leaf_perm, perm, int(top_rows), int(top_stack),
-            int(treelet_stack))
+            int(treelet_stack), int(full_stack))
 
 
 def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
@@ -471,10 +605,18 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
     top_stack = 0
     treelet_stack = 0
     if treelet_budget > 0:
-        (table, leaf_perm, _, top_rows, top_stack,
-         treelet_stack) = treelet_permute_host(
+        # fill treelets to the budget regardless of scene scale (see
+        # group_small_siblings_host) before the top/bottom layout; the
+        # grouped topology's exact full-tree bound replaces the
+        # pre-grouping one (the plain fallback traversal uses it)
+        table, leaf_perm = group_small_siblings_host(
             table, leaf_perm, arity, treelet_budget
         )
+        (table, leaf_perm, _, top_rows, top_stack,
+         treelet_stack, full_stack) = treelet_permute_host(
+            table, leaf_perm, arity, treelet_budget
+        )
+        stack_depth = full_stack + 1
         dfs = True
     elif dfs:
         table, leaf_perm, _ = dfs_permute_host(table, leaf_perm, arity)

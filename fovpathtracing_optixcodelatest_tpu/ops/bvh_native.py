@@ -10,8 +10,10 @@ experimental Pallas kernels.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 
+import jax
 import numpy as np
 
 from fovpathtracing_optixcodelatest_tpu.ops import bvh8 as bvh8_py
@@ -78,6 +80,68 @@ DEEP_TRIS_THRESHOLD = 1_000_000
 # one treelet = one dynamic_slice window.
 DEEP_TREELET_BUDGET = int(os.environ.get("FOVTPU_TREELET", 8192))
 
+# Host-side build cache for big scenes: the 10M-tri native SAH build runs
+# 57-130 s and the treelet/grouping layout adds Python DFS passes on top —
+# all deterministic functions of (tris, packing params, layout version).
+# Caching the FINAL packed table makes the warm start one npz read + one
+# device upload (VERDICT r4 item 5: 10M warm start <= 150 s). "" disables.
+BVH_CACHE_DIR = os.environ.get("FOVTPU_BVH_CACHE", "/tmp/fovtpu_bvh_cache")
+# bump when any build/layout code changes the packed output
+_BVH_CACHE_VERSION = 1
+# caching tiny builds costs more in hashing than it saves
+BVH_CACHE_MIN_TRIS = 200_000
+
+
+def _cache_key(tris, leaf_size, arity, dfs, budget) -> str:
+    h = hashlib.sha1()
+    h.update(
+        f"v{_BVH_CACHE_VERSION}|{tris.shape[0]}|{leaf_size}|{arity}|"
+        f"{int(dfs)}|{budget}|".encode()
+    )
+    h.update(np.ascontiguousarray(tris, dtype=np.float32).tobytes())
+    return h.hexdigest()
+
+
+def _cache_load(key: str) -> WideBVH | None:
+    path = os.path.join(BVH_CACHE_DIR, key + ".npz")
+    try:
+        z = np.load(path)
+    except OSError:
+        return None
+    top_rows = int(z["top_rows"])
+    table = z["table"]
+    top_np = table[:top_rows].copy() if top_rows else None
+    dev = jax.device_put((table, z["leaf_perm"], top_np))
+    return WideBVH(
+        table=dev[0], leaf_perm=dev[1], top_table=dev[2],
+        leaf_size=int(z["leaf_size"]), arity=int(z["arity"]), packed=True,
+        stack_depth=int(z["stack_depth"]), dfs=bool(z["dfs"]),
+        top_rows=top_rows, top_stack=int(z["top_stack"]),
+        treelet_stack=int(z["treelet_stack"]),
+    )
+
+
+def _cache_save(key: str, bvh: WideBVH) -> None:
+    try:
+        os.makedirs(BVH_CACHE_DIR, exist_ok=True)
+        path = os.path.join(BVH_CACHE_DIR, key + ".npz")
+        tmp = path + f".tmp{os.getpid()}.npz"
+        np.savez(
+            tmp,
+            table=np.asarray(bvh.table),
+            leaf_perm=np.asarray(bvh.leaf_perm),
+            top_rows=bvh.top_rows,
+            leaf_size=bvh.leaf_size,
+            arity=bvh.arity,
+            stack_depth=bvh.stack_depth,
+            dfs=bvh.dfs,
+            top_stack=bvh.top_stack,
+            treelet_stack=bvh.treelet_stack,
+        )
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is best-effort
+
 
 def build(tris: np.ndarray, leaf_size: int | None = None,
           arity: int | None = None,
@@ -96,10 +160,24 @@ def build(tris: np.ndarray, leaf_size: int | None = None,
     if dfs is None:
         dfs = deep
     budget = DEEP_TREELET_BUDGET if (deep and dfs) else 0
+    cacheable = (
+        BVH_CACHE_DIR
+        and not force_python
+        and tris.shape[0] >= BVH_CACHE_MIN_TRIS
+    )
+    key = None
+    if cacheable:
+        key = _cache_key(tris, leaf_size, arity, dfs, budget)
+        cached = _cache_load(key)
+        if cached is not None:
+            return cached
     out = None if force_python else collapse_native(tris, leaf_size, arity)
     if out is None:
         boxes, meta, perm = bvh8_py.collapse_bvh2(tris, leaf_size, arity)
     else:
         boxes, meta, perm = out
-    return pack_wide(boxes, meta, tris, perm, leaf_size, arity, dfs=dfs,
-                     treelet_budget=budget)
+    bvh = pack_wide(boxes, meta, tris, perm, leaf_size, arity, dfs=dfs,
+                    treelet_budget=budget)
+    if cacheable:
+        _cache_save(key, bvh)
+    return bvh

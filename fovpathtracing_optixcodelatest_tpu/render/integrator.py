@@ -136,6 +136,10 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
         assert not scene.bvh.instanced, (
             "oracle traversal needs flattened geometry"
         )
+        assert not scene.geom.slim, (
+            "oracle traversal needs the unpacked geometry arrays "
+            "(build with flatten_meshes(slim=False))"
+        )
         out = intersect.brute_force_closest_hit(
             scene.geom, o, d, config.tmin, config.tmax
         )
@@ -266,6 +270,9 @@ OCCL_STACK = int(os.environ.get("FOVTPU_OCCSTACK", "16"))
 # (1.6x cost for 2x indices) without the occl/p2 idle-lane dilution that
 # falsified a GLOBAL 64k chunk (PLAN rule 26).
 P1_CHUNK = int(os.environ.get("FOVTPU_P1CHUNK", "0")) or None
+# Occlusion chunk override (same rationale; occlusion rays are also a dense
+# compacted prefix in the fused pipeline).
+OCCL_CHUNK = int(os.environ.get("FOVTPU_OCCCHUNK", "0")) or None
 
 # fused-bounce sort-key layout: group << 28 | frame position (group 0 =
 # occlusion-active, 1 = alive without occlusion, 2 = dead). occl_query is a
@@ -346,6 +353,44 @@ def _closest_fused(scene, o_s, d_s, skey, config, iter_cap=None):
     if not slim:
         out.update(t=fin[2], u=fin[3], v=fin[4], inst=fin[5])
     return out
+
+
+def take_tri_pack(scene, tri, cols=None):
+    """Shading-attribute row gather, shard-aware. On a replicated scene this
+    is one jnp.take. Inside parallel/scene_shard.py's shard_map (static
+    ``scene.geom.pack_shard_axis``/``pack_shard_n`` set) tri_pack is a
+    LOCAL row block and the INDICES are device-varying (each chip traces
+    its own sample slice), so a one-shot masked-psum is wrong — it would
+    mix every chip's lookups. Instead the blocks ride a RING: D-1 ppermute
+    rotations visit every block on every chip, and each chip accumulates
+    the rows its own lanes need as they pass (classic ring all-gather
+    shape; ~the full table transits ICI once per call). Accumulation is in
+    the INTEGER domain — f32 adds would flush the denormal material-id
+    bitcasts (cols 9/10) to zero on TPU and canonicalize the -1 texture
+    id's NaN payload; i32 addition against zeros is bit-exact for every
+    column, so the result is bit-identical to the replicated gather."""
+    tab = scene.geom.tri_pack if cols is None else scene.geom.tri_pack[:, cols]
+    ax = scene.geom.pack_shard_axis
+    if ax is None:
+        return jnp.take(tab, tri, axis=0)
+    n_dev = scene.geom.pack_shard_n
+    d = lax.axis_index(ax)
+    r = tab.shape[0]
+    blk = lax.bitcast_convert_type(tab, jnp.int32)
+    acc = jnp.zeros(tri.shape + (() if tab.ndim == 1 else (tab.shape[1],)),
+                    jnp.int32)
+    for s in range(n_dev):
+        owner = (d - s) % n_dev  # which global block this chip holds now
+        local = tri - owner * r
+        ok = (local >= 0) & (local < r)
+        g = jnp.take(blk, jnp.clip(local, 0, r - 1), axis=0)
+        mask = ok[:, None] if g.ndim == 2 else ok
+        acc = acc + jnp.where(mask, g, 0)
+        if s < n_dev - 1:
+            blk = lax.ppermute(
+                blk, ax, [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            )
+    return lax.bitcast_convert_type(acc, jnp.float32)
 
 
 def _hit_keys(scene):
@@ -560,7 +605,7 @@ def trace_paths(
             def _is_pass(o_eff, h):
                 tri_p = jnp.maximum(h["tri_id"], 0)
                 mid = lax.bitcast_convert_type(
-                    jnp.take(scene.geom.tri_pack[:, 9], tri_p), jnp.int32
+                    take_tri_pack(scene, tri_p, cols=9), jnp.int32
                 )
                 fl = jnp.take(
                     scene.materials.flags,
@@ -577,9 +622,8 @@ def trace_paths(
                 else:
                     # slim hit dicts carry no t — re-derive it from the
                     # winning triangle (see _hit_tuv)
-                    a_h = jnp.take(
-                        scene.geom.tri_pack, jnp.maximum(h["tri_id"], 0),
-                        axis=0,
+                    a_h = take_tri_pack(
+                        scene, jnp.maximum(h["tri_id"], 0)
                     )
                     t_h, _, _ = _hit_tuv(scene, o_eff, d, a_h, h, config)
                 p_hit = o_eff + t_h[:, None] * d
@@ -604,7 +648,7 @@ def trace_paths(
 
         # ONE packed attribute gather per hit (normals/uvs/ids — see
         # SceneGeometry.tri_pack; separate per-field gathers profiled hot)
-        attr = jnp.take(scene.geom.tri_pack, tri, axis=0)  # (N, 48)
+        attr = take_tri_pack(scene, tri)  # (N, 48)
         hit_t, hit_u, hit_v = _hit_tuv(scene, o, d, attr, hit, config)
 
         p = o + hit_t[:, None] * d
@@ -797,6 +841,7 @@ def trace_paths(
                 occ_s = occl_fn(
                     scene.bvh, o_occ, d_occ,
                     config.tmin, config.tmax, active=act_occ,
+                    chunk=OCCL_CHUNK or traverse8.DEFAULT_CHUNK,
                 )
             occu = lax.sort(
                 [es[0] & _GMASK, occ_s.astype(jnp.int32)], num_keys=1

@@ -72,3 +72,34 @@ def test_textured_render_differs_only_on_geometry():
     # convention puts +y at high row index — see test_raycast_04_twin)
     sky_rows = slice(-4, None)
     np.testing.assert_array_equal(ft[sky_rows], fu[sky_rows])
+
+
+def test_quad_rows_match_four_tap():
+    """The packed 2x2 quad-row bilinear path (round 5, one row gather) must
+    return BIT-IDENTICAL samples to the 4-tap gather path."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fovpathtracing_optixcodelatest_tpu.models.texture import (
+        build_texture_array,
+        checkerboard,
+        sample_bilinear_wrap,
+    )
+
+    rng = np.random.default_rng(3)
+    imgs = [
+        checkerboard(32, 4),
+        rng.uniform(0, 1, (17, 23, 3)).astype(np.float32),
+        rng.uniform(0, 1, (8, 40, 3)).astype(np.float32),
+    ]
+    tex = build_texture_array(imgs)
+    assert tex.quad is not None
+    n = 4096
+    ids = jnp.asarray(rng.integers(0, 3, n).astype(np.int32))
+    uv = jnp.asarray(rng.uniform(-2, 3, (n, 2)).astype(np.float32))
+    got = sample_bilinear_wrap(tex, ids, uv)
+    tex4 = _dc.replace(tex, quad=None)
+    want = sample_bilinear_wrap(tex4, ids, uv)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
