@@ -46,6 +46,7 @@ experimental Pallas/packet kernels.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -354,6 +355,15 @@ def group_small_siblings_host(
     if span[0] <= budget:
         return table, leaf_perm
 
+    # Only children SMALL relative to the budget join groups: measured at
+    # 1.9M tris (224k rows, natural treelets ~7k ≈ budget), grouping the
+    # near-budget siblings REGRESSED the phased traversal (frame 0.79 ->
+    # 0.47 Mrays/s vs plain 0.68 — deeper round stacks, no fewer rounds);
+    # the quantization failure grouping exists to fix only appears when
+    # children run ~budget/arity (10M tris: ~1.3k-row treelets, rays cross
+    # tens of them).
+    member_max = budget // int(os.environ.get("FOVTPU_TGROUP_DIV", "4"))
+
     # group pass over every TOP node (span > budget): greedy first-fit over
     # slot order; groups need >= 2 members to pay for their extra row
     new_rows: list[np.ndarray] = []  # full-width f32 rows
@@ -365,7 +375,7 @@ def group_small_siblings_host(
             s for s in range(arity)
             if row_codes[s] != EMPTY
             and (row_codes[s] & 3) == KIND_NODE
-            and span[row_codes[s] >> 2] <= budget
+            and span[row_codes[s] >> 2] <= member_max
         ]
         groups: list[list[int]] = []
         cur: list[int] = []
@@ -608,10 +618,12 @@ def pack_wide(boxes: np.ndarray, meta: np.ndarray, tris: np.ndarray,
         # fill treelets to the budget regardless of scene scale (see
         # group_small_siblings_host) before the top/bottom layout; the
         # grouped topology's exact full-tree bound replaces the
-        # pre-grouping one (the plain fallback traversal uses it)
-        table, leaf_perm = group_small_siblings_host(
-            table, leaf_perm, arity, treelet_budget
-        )
+        # pre-grouping one (the plain fallback traversal uses it).
+        # FOVTPU_TGROUP=0 disables grouping (A/B escape hatch).
+        if os.environ.get("FOVTPU_TGROUP", "1") != "0":
+            table, leaf_perm = group_small_siblings_host(
+                table, leaf_perm, arity, treelet_budget
+            )
         (table, leaf_perm, _, top_rows, top_stack,
          treelet_stack, full_stack) = treelet_permute_host(
             table, leaf_perm, arity, treelet_budget

@@ -94,9 +94,11 @@ BVH_CACHE_MIN_TRIS = 200_000
 
 def _cache_key(tris, leaf_size, arity, dfs, budget) -> str:
     h = hashlib.sha1()
+    grp = os.environ.get("FOVTPU_TGROUP", "1")
+    gdiv = os.environ.get("FOVTPU_TGROUP_DIV", "4")
     h.update(
         f"v{_BVH_CACHE_VERSION}|{tris.shape[0]}|{leaf_size}|{arity}|"
-        f"{int(dfs)}|{budget}|".encode()
+        f"{int(dfs)}|{budget}|g{grp}|d{gdiv}|".encode()
     )
     h.update(np.ascontiguousarray(tris, dtype=np.float32).tobytes())
     return h.hexdigest()

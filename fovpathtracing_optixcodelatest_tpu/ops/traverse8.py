@@ -1166,8 +1166,8 @@ def closest_hit_treelet(
     active=None,
     max_steps: int = 100_000,
     chunk: int | None = DEFAULT_CHUNK,
-    rounds: int = TREELET_ROUNDS,
-    k_near: int = TREELET_K,
+    rounds: int | None = None,
+    k_near: int | None = None,
 ):
     """Deep-scene closest hit over a treelet-laid table (bvh.top_rows > 0).
 
@@ -1202,6 +1202,11 @@ def closest_hit_treelet(
     sorting lanes by pending-subtree row BEFORE lockstep is the enabling
     structure, and that requires pending work as sortable per-lane VALUES,
     which is exactly what the top/treelet split produces."""
+    # resolved at CALL time so FOVTPU_TROUNDS/_TK module overrides apply
+    # (a def-time default froze the import-time values — measured A/Bs
+    # silently ran identical configs)
+    rounds = TREELET_ROUNDS if rounds is None else rounds
+    k_near = TREELET_K if k_near is None else k_near
     assert bvh.top_rows > 0 and bvh.num_instances == 0
     assert k_near & (k_near - 1) == 0, "k_near must be a power of two"
     n = origin.shape[0]
@@ -1777,13 +1782,18 @@ def occluded_treelet(
     max_steps: int = 100_000,
     chunk: int | None = DEFAULT_CHUNK,
     cull_backface: bool = True,
-    rounds: int = TREELET_ROUNDS,
-    k_near: int = TREELET_K,
+    rounds: int | None = None,
+    k_near: int | None = None,
 ):
     """Deep-scene any-hit occlusion over a treelet-laid table — the
     occlusion twin of closest_hit_treelet (same top/round/watermark
     structure; occluded lanes simply drop out of later phases). Returns
     (N,) bool, exactly equal to occluded()."""
+    # resolved at CALL time so FOVTPU_TROUNDS/_TK module overrides apply
+    # (a def-time default froze the import-time values — measured A/Bs
+    # silently ran identical configs)
+    rounds = TREELET_ROUNDS if rounds is None else rounds
+    k_near = TREELET_K if k_near is None else k_near
     assert bvh.top_rows > 0 and bvh.num_instances == 0
     assert k_near & (k_near - 1) == 0, "k_near must be a power of two"
     n = origin.shape[0]
