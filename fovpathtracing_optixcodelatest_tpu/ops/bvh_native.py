@@ -74,6 +74,11 @@ def collapse_native(tris: np.ndarray, leaf_size: int, arity: int):
 DEEP_LEAF_SIZE = 12
 DEEP_ARITY = 32
 DEEP_TRIS_THRESHOLD = 1_000_000
+# San-Miguel-class scenes go further along the fewer-pops curve: at 10M tris
+# L24/A32 halves the row count (1.34M -> 612k) and measured 0.30 -> 0.35
+# Mrays/s (r5_deeppack); L16/A64 (stack 246) and L32/A32 measured worse.
+DEEPER_LEAF_SIZE = 24
+DEEPER_TRIS_THRESHOLD = 4_000_000
 # Treelet budget (rows) for deep tables: the traversal's gather window
 # (traverse8.WINDOW_ROWS = 8192). Bigger treelets = fewer pending entries
 # per ray (fewer serving rounds); a row-sorted chunk usually sits inside
@@ -155,8 +160,12 @@ def build(tris: np.ndarray, leaf_size: int | None = None,
     scenes) applies the DFS-interleaved row order the windowed HBM
     traversal wants (bvh8.dfs_permute_host)."""
     deep = tris.shape[0] >= DEEP_TRIS_THRESHOLD
+    deeper = tris.shape[0] >= DEEPER_TRIS_THRESHOLD
     if leaf_size is None:
-        leaf_size = DEEP_LEAF_SIZE if deep else LEAF_SIZE
+        leaf_size = (
+            DEEPER_LEAF_SIZE if deeper else
+            DEEP_LEAF_SIZE if deep else LEAF_SIZE
+        )
     if arity is None:
         arity = DEEP_ARITY if deep else ARITY
     if dfs is None:
