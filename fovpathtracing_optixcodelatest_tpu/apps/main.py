@@ -91,6 +91,14 @@ def parse_args(argv=None):
                         "library) instead of fully-resident uploads")
     p.add_argument("--demand-pages", type=int, default=1024,
                    help="demand-texture atlas capacity in 64x64 tiles")
+    p.add_argument("--multichip", default=None,
+                   choices=["samples", "scene"],
+                   help="render across all visible chips: 'samples' splits "
+                        "spp per chip (psum assembly, parallel/tiles.py); "
+                        "'scene' additionally row-shards the triangle table "
+                        "so per-chip scene memory is 1/N "
+                        "(parallel/scene_shard.py). Both bit-identical to "
+                        "single-chip.")
     p.add_argument("--no-progressive", action="store_true",
                    help="disable the viewer's progressive startup (quarter-"
                         "res warmup frames while the full-res executable "
@@ -211,7 +219,8 @@ def main(argv=None) -> int:
         file=sys.stderr,
     )
     renderer = Renderer(scene=scene, config=config, schedule=schedule,
-                        seed=args.seed, demand_loader=demand_loader)
+                        seed=args.seed, demand_loader=demand_loader,
+                        multichip=args.multichip)
     renderer.set_camera(cam)
     if args.resume:
         ckpt.resume_renderer(renderer, args.resume)

@@ -269,6 +269,15 @@ class RenderConfig:
     # 14 is the measured frame-scale optimum for the L6/A16 tree (sweep
     # 10/12/14/16/18 -> 568/539/515/516/522 ms on the bench config).
     traversal_phase1_cap: int = 14
+    # Scale the phase-1 cap with the (static) BVH row count: deeper trees
+    # have a larger p90 pop count, and the bench-tuned cap 14 starves them
+    # into the full-depth phase-2 re-trace. Measured (round 5): 1,469 rows
+    # -> 14 optimal; 97,721 rows -> 26 optimal (3.33 -> 3.97 Mrays/s; 32/40
+    # regress) — ~+2 per row-count doubling. When True the cap used is
+    # max(traversal_phase1_cap, 14 + 2*log2(rows/1469)) clamped to 34;
+    # bit-identical by construction (the cap only moves work between
+    # phases).
+    traversal_cap_auto: bool = True
     # Separate phase-1 cap for PRIMARY rays (bounce 0): coherent primaries
     # need fewer pops (measured mean 5.3 vs 7.4 on box_city) so a tighter
     # cap sheds their lockstep tail sooner. 0 = use traversal_phase1_cap.

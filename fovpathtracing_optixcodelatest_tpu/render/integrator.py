@@ -155,7 +155,7 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
     # phase + row-sorted rounds replace two-phase staging entirely) — in
     # the measured win band only (traverse8.TREELET_MAX_ROWS)
     treelet = traverse8.use_treelet(scene.bvh)
-    cap = config.traversal_phase1_cap if iter_cap is None else iter_cap
+    cap = phase1_cap(scene, config) if iter_cap is None else iter_cap
     if not config.compact_bounces:
         if treelet:
             out = traverse8.closest_hit_treelet(
@@ -294,7 +294,7 @@ def _closest_fused(scene, o_s, d_s, skey, config, iter_cap=None):
     alive_s = skey < _GDEAD
     staged = config.traversal_phase1_cap > 0 and scene.bvh.num_rows > 512
     treelet = traverse8.use_treelet(scene.bvh)
-    cap = config.traversal_phase1_cap if iter_cap is None else iter_cap
+    cap = phase1_cap(scene, config) if iter_cap is None else iter_cap
     if not staged or treelet:
         fn = (
             traverse8.closest_hit_treelet if treelet
@@ -353,6 +353,20 @@ def _closest_fused(scene, o_s, d_s, skey, config, iter_cap=None):
     if not slim:
         out.update(t=fin[2], u=fin[3], v=fin[4], inst=fin[5])
     return out
+
+
+def phase1_cap(scene, config) -> int:
+    """Effective phase-1 iteration cap (static). See
+    RenderConfig.traversal_cap_auto: the cap scales ~+2 per BVH row-count
+    doubling from the bench-tuned 14 at 1,469 rows (measured anchors:
+    97,721 rows -> 26 optimal, +19% frame)."""
+    import math
+
+    cap = config.traversal_phase1_cap
+    if cap > 0 and config.traversal_cap_auto:
+        rows = max(scene.bvh.num_rows, 1469)
+        cap = max(cap, min(34, 14 + round(2 * math.log2(rows / 1469))))
+    return cap
 
 
 def take_tri_pack(scene, tri, cols=None):
@@ -585,7 +599,7 @@ def trace_paths(
             icap = jnp.where(
                 primary,
                 jnp.int32(config.traversal_phase1_cap_primary),
-                jnp.int32(config.traversal_phase1_cap),
+                jnp.int32(phase1_cap(scene, config)),
             )
         if fused:
             hit = _closest_fused(

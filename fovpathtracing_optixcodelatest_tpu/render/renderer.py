@@ -328,6 +328,7 @@ class Renderer:
         texture_images=None,
         seed: int = 0,
         demand_loader=None,
+        multichip: Optional[str] = None,
     ):
         if scene is None:
             if meshes is None:
@@ -339,6 +340,26 @@ class Renderer:
         if demand_loader is not None:
             scene = scene.with_demand(demand_loader.launch_prepare())
         self.scene = scene
+        self.multichip = multichip
+        self._mc_fn = None
+        if multichip:
+            # "samples": every chip renders its sample slice, psum assembly
+            # (parallel/tiles.py). "scene": additionally row-shards tri_pack
+            # across the mesh — per-chip triangle-table memory 1/D
+            # (parallel/scene_shard.py). Both bit-identical to single-chip.
+            assert multichip in ("samples", "scene"), multichip
+            assert demand_loader is None, "demand textures + multichip: no"
+            from fovpathtracing_optixcodelatest_tpu.parallel import tiles
+
+            self._mesh = tiles.make_mesh()
+            if multichip == "scene":
+                from fovpathtracing_optixcodelatest_tpu.parallel import (
+                    scene_shard,
+                )
+
+                self.scene = scene_shard.pad_scene_rows(
+                    self.scene, self._mesh.shape[tiles.AXIS]
+                )
         self.config = config
         self.schedule = schedule or FoveationSchedule.reference_32_16_8()
         self.camera_params: Optional[CameraParams] = None
@@ -370,6 +391,7 @@ class Renderer:
         the canvas, reset accumulation. A new schedule is a new jit static
         arg — first frame recompiles (persistent cache absorbs repeats)."""
         self.schedule = schedule
+        self._mc_fn = None  # closure captures (config, schedule, mesh)
         self._pad = film.schedule_padding(
             schedule, self.config.width, self.config.height
         )
@@ -385,6 +407,7 @@ class Renderer:
         self.config = dataclasses.replace(
             self.config, width=size[0], height=size[1]
         )
+        self._mc_fn = None  # closure captures (config, schedule, mesh)
         self._pad = film.schedule_padding(
             self.schedule, self.config.width, self.config.height
         )
@@ -404,11 +427,38 @@ class Renderer:
         gx = jnp.clip(jnp.asarray(gaze[0], dtype=jnp.int32), 0, w - 1)
         gy = jnp.clip(jnp.asarray(gaze[1], dtype=jnp.int32), 0, h - 1)
         frame_key = jax.random.fold_in(self._key, self.subframe)
-        self.canvas, frame, self._stats = render_frame(
-            self.scene, self.camera_params, gx, gy,
-            jnp.asarray(self.subframe, dtype=jnp.int32),
-            self.canvas, frame_key, self.config, self.schedule,
-        )
+        if self.multichip:
+            if self._mc_fn is None:
+                if self.multichip == "scene":
+                    from fovpathtracing_optixcodelatest_tpu.parallel import (
+                        scene_shard,
+                    )
+
+                    fr = scene_shard.render_frame_scene_sharded
+                else:
+                    from fovpathtracing_optixcodelatest_tpu.parallel import (
+                        tiles,
+                    )
+
+                    fr = tiles.render_frame_sharded
+                cfg, sched, mesh = self.config, self.schedule, self._mesh
+                self._mc_fn = jax.jit(
+                    lambda sc, ca, x, y, su, cv, k: fr(
+                        sc, ca, x, y, su, cv, k, cfg, sched, mesh
+                    )
+                )
+            self.canvas, frame, traces = self._mc_fn(
+                self.scene, self.camera_params, gx, gy,
+                jnp.asarray(self.subframe, dtype=jnp.int32),
+                self.canvas, frame_key,
+            )
+            self._stats = {"traces": traces}
+        else:
+            self.canvas, frame, self._stats = render_frame(
+                self.scene, self.camera_params, gx, gy,
+                jnp.asarray(self.subframe, dtype=jnp.int32),
+                self.canvas, frame_key, self.config, self.schedule,
+            )
         self.subframe += 1
         self.last_frame = frame
         return np.asarray(frame)

@@ -1,12 +1,8 @@
-"""Round-5 388k-tri (bench deep datapoint) phase-1 cap sweep + treelet leg.
-
-The 388k scene is ITERATION-bound (PLAN rule 36: 3.6x bench iterations at
-equal per-iter cost); phase1_cap=14 was tuned on the shallow bench tree
-(rule 24) — deeper trees push more rays past the cap into the full-depth
-phase-2 re-trace. Sweep caps, then try the treelet routing (lower the deep
-threshold so the 388k build gets the treelet layout; ungrouped treelet
-measured +16% at 224k rows).
-Run: python -c "exec(open('scratch/r5_deepcap.py').read())"
+"""Round-5 cap sweep part B: 388k caps {32, 40} (26 gave +19% and rising)
+and the 10M L24/A32 scene at caps {26, 32} (it ran at the bench-tree cap 14
+in every prior measurement). Deeper trees need a phase-1 budget that covers
+their larger p90 pop count.
+Run: python -c "exec(open('scratch/r5_deepcap_b.py').read())"
 """
 import dataclasses, sys, time
 import numpy as np
@@ -19,7 +15,6 @@ from fovpathtracing_optixcodelatest_tpu.config import FoveationSchedule, RenderC
 from fovpathtracing_optixcodelatest_tpu.models import scenes
 from fovpathtracing_optixcodelatest_tpu.models.probe import gradient_sky_probe
 from fovpathtracing_optixcodelatest_tpu.models.scene import build_scene
-from fovpathtracing_optixcodelatest_tpu.ops import bvh_native
 from fovpathtracing_optixcodelatest_tpu.render import film
 from fovpathtracing_optixcodelatest_tpu.render.renderer import render_frame
 
@@ -29,17 +24,15 @@ pad = film.schedule_padding(schedule, width, height)
 gx = jnp.asarray(width // 2, jnp.int32)
 gy = jnp.asarray(height // 2, jnp.int32)
 key = jax.random.PRNGKey(0)
-meshes, cam = scenes.box_city_fast(n=180, seed=0)
-camp = dataclasses.replace(cam, aspect=width / height).device_params()
 
 
-def measure(tag, scene, config, n=4):
+def measure(tag, scene, camp, config, n=3):
     canvas = film.new_canvas(width, height, pad)
     t0 = time.perf_counter()
     canvas, frame, stats = render_frame(
         scene, camp, gx, gy, jnp.asarray(0, jnp.int32), canvas, key,
         config, schedule)
-    ref0 = np.asarray(frame)
+    _ = np.asarray(frame)
     print(f"[{tag}] compile+first: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
     for j in (1, 2):
@@ -58,30 +51,26 @@ def measure(tag, scene, config, n=4):
     dt = (time.perf_counter() - t0) / n
     print(f"[{tag}] frame {dt*1e3:.0f} ms, {tr/n/dt/1e6:.2f} Mrays/s",
           file=sys.stderr, flush=True)
-    return ref0
 
 
+meshes, cam = scenes.box_city_fast(n=180, seed=0)
+camp = dataclasses.replace(cam, aspect=width / height).device_params()
 scene = build_scene(meshes, probe=gradient_sky_probe())
-print(f"default build: {scene.bvh.num_rows} rows, top {scene.bvh.top_rows}",
-      file=sys.stderr, flush=True)
 base = RenderConfig(width=width, height=height)
-ref = measure("cap14 (default)", scene, base)
-for cap in (20, 26):
+for cap in (32, 40):
     jax.clear_caches()
-    got = measure(
-        f"cap{cap}", scene,
-        dataclasses.replace(base, traversal_phase1_cap=cap),
-    )
-    print(f"[cap{cap}] bit-identical: {np.array_equal(ref, got)}",
-          file=sys.stderr, flush=True)
-
-# treelet leg: rebuild with the deep layout (L12/A32 + treelet budget)
+    measure(f"388k cap{cap}", scene, camp,
+            dataclasses.replace(base, traversal_phase1_cap=cap))
+del scene
 jax.clear_caches()
-bvh_native.DEEP_TRIS_THRESHOLD = 300_000
-scene_t = build_scene(meshes, probe=gradient_sky_probe())
-print(f"treelet build: {scene_t.bvh.num_rows} rows, "
-      f"top {scene_t.bvh.top_rows}, tstack {scene_t.bvh.treelet_stack}",
+
+meshes, cam = scenes.box_city_fast(n=913, seed=0)
+camp = dataclasses.replace(cam, aspect=width / height).device_params()
+t0 = time.perf_counter()
+scene = build_scene(meshes, probe=gradient_sky_probe())
+print(f"10M build {time.perf_counter()-t0:.1f}s ({scene.bvh.num_rows} rows)",
       file=sys.stderr, flush=True)
-got = measure("treelet L12/A32", scene_t, base)
-print(f"[treelet] bit-identical: {np.array_equal(ref, got)}",
-      file=sys.stderr, flush=True)
+for cap in (26, 32):
+    jax.clear_caches()
+    measure(f"10M cap{cap}", scene, camp,
+            dataclasses.replace(base, traversal_phase1_cap=cap))
