@@ -73,7 +73,9 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     n_rays_est = sum(
-        -(-width // p.factor) * -(-height // p.factor) * p.spp
+        (p.launch_w or -(-width // p.factor))
+        * (p.launch_h or -(-height // p.factor))
+        * p.spp
         for p in schedule.passes
     )
     print(

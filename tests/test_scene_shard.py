@@ -68,3 +68,28 @@ def test_scene_sharded_bit_identical():
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
     assert int(s1["traces"]) == int(s2)
+
+
+def test_renderer_multichip_scene_matches_single():
+    """Renderer(multichip='scene') — the CLI-facing wrapper — must produce
+    the single-chip frame bit-exactly."""
+    from fovpathtracing_optixcodelatest_tpu.render.renderer import Renderer
+
+    w, h = 48, 36
+    meshes, cam = scenes.box_city(n=3, seed=2)
+    cam = dataclasses.replace(cam, aspect=w / h)
+    cfg = RenderConfig(width=w, height=h, max_depth=2)
+    sched = FoveationSchedule.uniform(spp=8)
+
+    r1 = Renderer(meshes=meshes, config=cfg, schedule=sched,
+                  probe=gradient_sky_probe(width=64, height=32))
+    r1.set_camera(cam)
+    f1 = r1.render()
+
+    r2 = Renderer(meshes=meshes, config=cfg, schedule=sched,
+                  probe=gradient_sky_probe(width=64, height=32),
+                  multichip="scene")
+    r2.set_camera(cam)
+    f2 = r2.render()
+    np.testing.assert_array_equal(f1, f2)
+    assert int(r1._stats["traces"]) == int(r2._stats["traces"])
