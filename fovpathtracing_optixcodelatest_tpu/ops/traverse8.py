@@ -972,14 +972,18 @@ TREELET_K = int(os.environ.get("FOVTPU_TK", 4))
 # only pays when early-exit hits dominate (measured: helps nowhere yet;
 # 10M frame 0.23 -> 0.15 Mrays/s WITH it, 1.9M 0.77 -> 0.72). Default off.
 OCCL_TREELET = os.environ.get("FOVTPU_OCCT", "0") != "0"
-# Closest-hit treelet routing wins in the mid-deep band (238k rows: frame
-# 0.66 -> 0.77 Mrays/s, raw closest 0.75 -> 1.12) but LOSES at 1.34M rows
-# (10M tris: 0.28 plain vs 0.23 r2/k4, 0.17 r6/k8 — fanout quantization
-# makes treelets ~1.3k rows, rays cross tens of them, and rounds+fallback
-# overhead exceeds the windowed-gather saving). Route treelet only below
-# this row count; beyond it the plain direct-gather path is the best
-# measured configuration.
-TREELET_MAX_ROWS = int(os.environ.get("FOVTPU_TMAXROWS", 600_000))
+# Closest-hit treelet ROUTING is DEFAULT-OFF since round 5: the round-4
+# "mid-band win" (238k rows: frame 0.66 -> 0.77) was an artifact of an
+# under-capped plain baseline — with the scene-scaled phase-1 cap
+# (integrator.phase1_cap) plain measures 0.77 Mrays/s at 224k rows vs
+# treelet 0.45-0.56, and every 10M configuration (grouped or not) loses
+# ~2x (the fallback is all-or-nothing per lane: a ray crossing more than
+# rounds*K treelets re-traces the whole tree plain, paying the rounds as
+# pure overhead). The raw mechanism (windowed gathers erase the HBM
+# per-index surcharge, 680 -> 433 us/iter; raw coherent closest-hit 0.75
+# -> 1.12) is real and stays available: set FOVTPU_TMAXROWS to a row
+# bound to re-enable routing for tables up to that size.
+TREELET_MAX_ROWS = int(os.environ.get("FOVTPU_TMAXROWS", 0))
 
 
 def use_treelet(bvh) -> bool:

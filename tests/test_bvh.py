@@ -419,6 +419,9 @@ def test_treelet_scene_render_bit_identical(monkeypatch):
     from fovpathtracing_optixcodelatest_tpu.render.renderer import Renderer
 
     monkeypatch.setattr(traverse8, "WINDOW_ROWS", 64)
+    # routing is default-off since round 5 (PLAN rule 59) — force it so the
+    # integrator branch under test actually engages
+    monkeypatch.setattr(traverse8, "TREELET_MAX_ROWS", 1 << 40)
 
     meshes, cam = scenes.box_city(n=3, seed=2)
     config = RenderConfig(width=48, height=32, max_depth=3)
