@@ -263,6 +263,11 @@ def _closest_compacted(scene, o, d, alive, config, iter_cap=None):
 # Mode 0 = off (single full walk), 1 = in-place phase 2 (no sorts; DYN_TRIP
 # skips pending-free chunks), 2 = compacted phase 2 (+7-op/+2-op sorts).
 OCCL_STAGE = int(os.environ.get("FOVTPU_OCCSTAGE", "0"))
+# Phase-2 closest-hit IN PLACE (no pend-compaction sort): pending lanes
+# keep their es-order slots; DYN_TRIP skips pending-free chunks. Trades
+# the 9-operand pend sort (~9 ms/bounce) against phase-2 lockstep dilution
+# wherever pending lanes scatter across chunks.
+P2_INPLACE = os.environ.get("FOVTPU_P2INPLACE", "0") != "0"
 OCCL_CAP = int(os.environ.get("FOVTPU_OCCCAP", "8"))
 OCCL_STACK = int(os.environ.get("FOVTPU_OCCSTACK", "16"))
 # Phase-1 closest-hit chunk override (0 = traverse8.DEFAULT_CHUNK). Dense
@@ -320,6 +325,18 @@ def _closest_fused(scene, o_s, d_s, skey, config, iter_cap=None):
     )
     pend = p1["pending"] & alive_s
     tri1 = jnp.where(p1["hit"], p1["tri_id"], -1)
+    if P2_INPLACE and slim:
+        p2 = traverse8.closest_hit(
+            scene.bvh, o_s, d_s, config.tmin, config.tmax,
+            active=pend, t_seed=p1["t"] * (1.0 + 1e-6),
+        )
+        closer = pend & p2["hit"]
+        tri = jnp.where(closer, p2["tri_id"], tri1)
+        fin = lax.sort([skey & _GMASK, tri], num_keys=1)
+        return {
+            "tri_id": fin[1], "hit": fin[1] >= 0,
+            "steps": p1["steps"] + p2["steps"],
+        }
     ikey2 = jnp.where(pend, 0, _DEAD) | (skey & _GMASK)
     s2 = lax.sort(
         [ikey2, o_s[:, 0], o_s[:, 1], o_s[:, 2],
