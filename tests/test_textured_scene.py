@@ -21,16 +21,18 @@ from fovpathtracing_optixcodelatest_tpu.config import (
 
 @pytest.fixture(autouse=True)
 def _no_persistent_cache():
-    """The persistent-compile-cache WRITE for this module's frame
-    executable crashes the interpreter (zstandard abort inside jax's
-    put_executable_and_time) when it lands late in a full-suite run —
-    twice reproduced at the same position, never standalone. The cache
-    buys these tiny renders little; skip it for this module."""
+    """The persistent-compile-cache GET/PUT for this module's frame
+    executable crashes the interpreter (segfault/abort inside jax's
+    zstandard codepath) when it lands ~150 tests into a full-suite run —
+    four times reproduced at the same position (fresh cache dir included),
+    never standalone. jax_enable_compilation_cache=False did NOT stop the
+    cache lookup mid-process, so unset the cache DIR itself — no cache IO
+    at all for this module (the tiny renders compile in seconds)."""
     import jax
 
-    jax.config.update("jax_enable_compilation_cache", False)
+    jax.config.update("jax_compilation_cache_dir", None)
     yield
-    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fovtpu_jax_cache")
 from fovpathtracing_optixcodelatest_tpu.models import scenes
 from fovpathtracing_optixcodelatest_tpu.models.probe import constant_probe
 from fovpathtracing_optixcodelatest_tpu.render.renderer import Renderer
